@@ -1,0 +1,11 @@
+from .filters import (  # noqa: F401
+    spatial_filter, laplacian_filter, median_filter, valid_depth_mask,
+)
+from .pointcloud import (  # noqa: F401
+    depth_to_points, render_pointcloud, render_coverage, degrid,
+)
+from .discfill import fill_disocclusion  # noqa: F401
+from .bokeh import bokeh_blur, bokeh_pass, bokeh_weight_field  # noqa: F401
+from .camera import (  # noqa: F401
+    DepthRange, depth_range, compute_shift, shift_points, autozoom,
+)

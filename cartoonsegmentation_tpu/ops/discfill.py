@@ -1,0 +1,142 @@
+"""Disocclusion fill — 16-direction ray search (TPU-native).
+
+Re-design of ``kernel_discfill_updateOutput`` (reference
+anime_3dkenburns/common.py:145-247): for every hole pixel (rendered
+depth <= 0), rays are marched in 16 directions both ways to the
+nearest valid pixel; the direction with the shortest valid-to-valid
+gap wins, and the hole copies the endpoint that is *farther* in depth
+(the background side).
+
+TPU formulation: the per-thread ``do { pos += dir } while`` march
+becomes a precomputed (16, K, 2) integer offset table (exact C
+``round()`` semantics, computed on host) and a streamed gather of the
+depth map at p + offset — a first-event reduction processed in step
+chunks so peak memory stays at O(chunk · H · W). K (``max_steps``)
+bounds the search radius; the CUDA original searches to the frame
+edge, but disocclusion gaps are baseline-bounded (tens of pixels at
+the default baseline 40), so a static cap is exact in practice and
+keeps the program static-shaped.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# direction table, reference common.py:171-172
+_DIR_X = np.array([-1, 0, 1, 1, -1, 1, 2, 2, -2, -1, 1, 2, 3, 3, 3, 3],
+                  np.float64)
+_DIR_Y = np.array([1, 1, 1, 0, 2, 2, 1, -1, 3, 3, 3, 3, 2, 1, -1, -2],
+                  np.float64)
+
+_CHUNK = 16
+BIG = 1000000.0
+
+
+def _c_round(v: np.ndarray) -> np.ndarray:
+    """C round(): half away from zero (np.round is half-to-even)."""
+    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+
+@functools.lru_cache(maxsize=8)
+def _offset_table(max_steps: int):
+    """(16, K, 2) int32 (dy, dx) offsets for the '+dir' way; the
+    '-dir' way negates them.
+
+    Matches the reference's accumulate-then-round walk: the pixel
+    visited at step s from integer origin p is p + round(s * d̂)
+    (round(int + f) == int + round(f), and C round is odd-symmetric
+    so the backward walk is the exact negation)."""
+    norm = np.sqrt(_DIR_X ** 2 + _DIR_Y ** 2)
+    dx, dy = _DIR_X / norm, _DIR_Y / norm
+    s = np.arange(1, max_steps + 1, dtype=np.float64)
+    offx = _c_round(s[None, :] * dx[:, None]).astype(np.int32)
+    offy = _c_round(s[None, :] * dy[:, None]).astype(np.int32)
+    return jnp.asarray(np.stack([offy, offx], axis=-1))  # (16, K, 2)
+
+
+def _first_hit(depth, py, px, offs, H, W):
+    """First valid endpoint along one direction-way for every pixel.
+
+    depth: (H, W); py/px: (H, W) int grids; offs: (K, 2) with K a
+    multiple of _CHUNK. Walks terminate at the first of: a valid
+    pixel (success) or leaving the frame (failure) — reference
+    common.py:188-208. Streamed over chunks of steps so only
+    (chunk, H, W) intermediates exist.
+
+    Returns (found, ey, ex, ed): endpoint coords and depth.
+    """
+    K = offs.shape[0]
+    offs_c = offs.reshape(K // _CHUNK, _CHUNK, 2)
+
+    def chunk_step(carry, off_c):
+        active, found, ey, ex, ed = carry
+        qy = py[None] + off_c[:, 0][:, None, None]       # (chunk, H, W)
+        qx = px[None] + off_c[:, 1][:, None, None]
+        inb = (qy >= 0) & (qy < H) & (qx >= 0) & (qx < W)
+        d = depth[jnp.clip(qy, 0, H - 1), jnp.clip(qx, 0, W - 1)]
+        hit = inb & (d > 0.0)
+        evt = hit | ~inb                                 # hit xor exit
+        any_evt = jnp.any(evt, axis=0)
+        s_evt = jnp.argmax(evt, axis=0)                  # first event
+        is_hit = jnp.take_along_axis(hit, s_evt[None], 0)[0]
+        ney = jnp.take_along_axis(qy, s_evt[None], 0)[0]
+        nex = jnp.take_along_axis(qx, s_evt[None], 0)[0]
+        ned = jnp.take_along_axis(d, s_evt[None], 0)[0]
+        upd = active & any_evt & is_hit
+        found = found | upd
+        ey = jnp.where(upd, ney, ey)
+        ex = jnp.where(upd, nex, ex)
+        ed = jnp.where(upd, ned, ed)
+        active = active & ~any_evt
+        return (active, found, ey, ex, ed), None
+
+    init = (jnp.ones((H, W), jnp.bool_), jnp.zeros((H, W), jnp.bool_),
+            py, px, jnp.zeros((H, W), depth.dtype))
+    (active, found, ey, ex, ed), _ = jax.lax.scan(chunk_step, init, offs_c)
+    return found, ey, ex, ed
+
+
+@functools.partial(jax.jit, static_argnames=('max_steps',))
+def fill_disocclusion(img: jnp.ndarray, depth: jnp.ndarray,
+                      max_steps: int = 128) -> jnp.ndarray:
+    """Fill hole pixels (depth <= 0) of ``img``.
+
+    img: (H, W, C) — typically the 4-channel RGB+disparity render.
+    depth: (H, W) — rendered depth * existing mask.
+    Parity: reference fill_disocclusion (common.py:145-247).
+    """
+    H, W = depth.shape
+    max_steps = max(_CHUNK, (max_steps // _CHUNK) * _CHUNK)
+    offs = _offset_table(max_steps)                    # (16, K, 2)
+    py, px = jnp.mgrid[0:H, 0:W]
+    py = py.astype(jnp.int32)
+    px = px.astype(jnp.int32)
+
+    def direction_step(carry, off_k):
+        best_d, by, bx, bfound = carry
+        f_from, fy, fx, fd = _first_hit(depth, py, px, -off_k, H, W)
+        f_to, ty, tx, td = _first_hit(depth, py, px, off_k, H, W)
+        ok = f_from & f_to
+        dist = jnp.sqrt(((tx - fx).astype(depth.dtype)) ** 2 +
+                        ((ty - fy).astype(depth.dtype)) ** 2)
+        better = ok & (best_d > dist)                  # strict: first wins
+        use_to = fd < td                               # farther side wins
+        ny = jnp.where(use_to, ty, fy)
+        nx = jnp.where(use_to, tx, fx)
+        best_d = jnp.where(better, dist, best_d)
+        by = jnp.where(better, ny, by)
+        bx = jnp.where(better, nx, bx)
+        return (best_d, by, bx, bfound | better), None
+
+    init = (jnp.full((H, W), BIG, depth.dtype), py, px,
+            jnp.zeros((H, W), jnp.bool_))
+    (_, fill_y, fill_x, found), _ = jax.lax.scan(direction_step, init, offs)
+
+    hole = depth <= 0.0
+    take = hole & found
+    src_y = jnp.where(take, fill_y, py)
+    src_x = jnp.where(take, fill_x, px)
+    return img[src_y, src_x]

@@ -1,0 +1,190 @@
+"""Point-cloud forward-splat renderer (TPU-native).
+
+Re-design of the three CuPy RawKernels in reference
+anime_3dkenburns/models/utils.py:56-315:
+
+- ``kernel_pointrender_updateZee``  (float atomicMin z-buffer) →
+  deterministic ``scatter-min`` on the nearest bilinear corner
+- ``kernel_pointrender_updateDegrid`` (in-place, racy opposing-neighbor
+  smoothing) → a pure stencil over the z-buffer (deterministic; the
+  reference's in-place read/write order is an acknowledged benign race,
+  see SURVEY.md §5.2)
+- ``kernel_pointrender_updateOutput`` (atomicAdd bilinear splat gated
+  by z-test) → masked ``scatter-add`` over all four corners
+
+Everything is static-shaped: invalid / out-of-frame points are routed
+to a dropped scatter index, so a fixed-capacity point cloud with a
+validity mask renders in one compiled XLA program.
+
+Layout: points (P, 3) xyz camera space, data (P, C) channel-last.
+Batch via ``jax.vmap``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1000000.0  # reference z-buffer init (models/utils.py:59)
+
+
+def depth_to_points(depth: jnp.ndarray, focal: float) -> jnp.ndarray:
+    """Unproject a depth map to camera-space xyz.
+
+    depth: (H, W) or (H, W, 1) → (H, W, 3). Pixel grid is centered:
+    u ∈ [-W/2+0.5, W/2-0.5] (parity: models/utils.py:43-50).
+    """
+    if depth.ndim == 3:
+        depth = depth[..., 0]
+    H, W = depth.shape
+    xs = (jnp.arange(W, dtype=depth.dtype) - 0.5 * W + 0.5) / focal
+    ys = (jnp.arange(H, dtype=depth.dtype) - 0.5 * H + 0.5) / focal
+    x = depth * xs[None, :]
+    y = depth * ys[:, None]
+    return jnp.stack([x, y, depth], axis=-1)
+
+
+def _project(points: jnp.ndarray, H: int, W: int, focal: float,
+             baseline: float):
+    """Project points to the image plane.
+
+    The reference intersects the ray to the origin with the plane
+    z=focal (models/utils.py:76-99); algebraically that is the pinhole
+    projection u = x*focal/z. Returns (u, v, error, valid) where
+    ``error`` is the z-buffer key 1e6 - focal*baseline/(z+1e-7).
+    """
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    valid = z >= 0.001
+    zs = jnp.where(valid, z, 1.0)  # avoid div-by-~0 garbage
+    u = x * focal / zs + 0.5 * W - 0.5
+    v = y * focal / zs + 0.5 * H - 0.5
+    error = BIG - (focal * baseline) / (z + 1e-7)
+    return u, v, error, valid
+
+
+def _corners(u: jnp.ndarray, v: jnp.ndarray):
+    """Four bilinear corners and weights: NW, NE, SW, SE (reference
+    corner order, models/utils.py:101-113)."""
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    cx = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], 0)        # (4, P)
+    cy = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], 0)
+    w = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                   (1 - fx) * fy, fx * fy], 0)             # (4, P)
+    return cx, cy, w
+
+
+def _flat_idx(cx, cy, H, W, extra_invalid=None):
+    """Flattened pixel index; out-of-frame (or masked) → H*W (dropped
+    by scatter mode='drop')."""
+    inb = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+    if extra_invalid is not None:
+        inb = inb & ~extra_invalid
+    return jnp.where(inb, cy * W + cx, H * W), inb
+
+
+def degrid(zee: jnp.ndarray) -> jnp.ndarray:
+    """Opposing-neighbor z-buffer smoothing (models/utils.py:152-212).
+
+    For each of 4 opposing neighbor pairs, if both neighbors are in
+    bounds and the center exceeds both by >= 1.0, the pair contributes
+    its two values; the center becomes min(center, mean of all
+    contributions). Computed as a pure stencil over the input buffer
+    (deterministic; the CUDA original reads a buffer it is mutating).
+    zee: (H, W).
+    """
+    INF = jnp.asarray(jnp.inf, zee.dtype)
+
+    def shifted(dy, dx):
+        return jnp.pad(zee, ((1, 1), (1, 1)), constant_values=INF)[
+            1 + dy:1 + dy + zee.shape[0], 1 + dx:1 + dx + zee.shape[1]]
+
+    total = jnp.zeros_like(zee)
+    count = jnp.zeros_like(zee)
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (-1, 1)):
+        one = shifted(dy, dx)
+        two = shifted(-dy, -dx)
+        cond = (zee >= one + 1.0) & (zee >= two + 1.0)
+        # inf padding makes cond False at borders (both must be inb)
+        total = total + jnp.where(cond, one + two, 0.0)
+        count = count + jnp.where(cond, 2.0, 0.0)
+    avg = total / jnp.maximum(count, 1.0)
+    return jnp.where(count > 0, jnp.minimum(zee, avg), zee)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=())
+def _render_impl(points, data, H, W, focal, baseline):
+    P = points.shape[0]
+    C = data.shape[1]
+    u, v, error, valid = _project(points, H, W, focal, baseline)
+    cx, cy, w = _corners(u, v)
+
+    # --- pass 1: nearest-corner z-buffer (scatter-min) ---------------
+    # the CUDA kernel routes each point to the corner with the largest
+    # bilinear weight, first-wins on ties in NW,NE,SW,SE order — argmax
+    # over the stacked weights reproduces the if/elif chain exactly.
+    best = jnp.argmax(w, axis=0)                      # (P,)
+    bx = jnp.take_along_axis(cx, best[None], 0)[0]
+    by = jnp.take_along_axis(cy, best[None], 0)[0]
+    zidx, _ = _flat_idx(bx, by, H, W, extra_invalid=~valid)
+    zee = jnp.full((H * W + 1,), BIG, points.dtype)
+    zee = zee.at[zidx].min(jnp.where(valid, error, BIG), mode='drop')
+    zee = degrid(zee[:H * W].reshape(H, W)).reshape(-1)
+
+    # --- pass 2: bilinear splat gated by z-test ----------------------
+    data1 = jnp.concatenate([data, jnp.ones((P, 1), data.dtype)], 1)
+    out = jnp.zeros((H * W + 1, C + 1), data.dtype)
+    for c in range(4):
+        idx, inb = _flat_idx(cx[c], cy[c], H, W, extra_invalid=~valid)
+        zref = zee[jnp.clip(idx, 0, H * W - 1)]
+        pass_z = error <= zref + 1.0                   # tolerance +1.0
+        wc = jnp.where(inb & valid & pass_z, w[c], 0.0)
+        out = out.at[idx].add(data1 * wc[:, None], mode='drop')
+    out = out[:H * W].reshape(H, W, C + 1)
+    weight = out[..., C:]
+    render = out[..., :C] / (weight + 1e-7)
+    return render, weight, zee.reshape(H, W)
+
+
+def render_pointcloud(points: jnp.ndarray, data: jnp.ndarray, H: int,
+                      W: int, focal, baseline
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-splat ``data`` carried by ``points`` into an (H, W) view.
+
+    Args:
+      points: (P, 3) camera-space xyz. Invalid slots: set z <= 0.
+      data:   (P, C) per-point payload (e.g. RGB+disparity).
+      focal, baseline: camera intrinsics (traced or python scalars).
+
+    Returns:
+      render (H, W, C) — weight-normalized splat,
+      weight (H, W, 1) — accumulated bilinear weight ("existing" mask).
+
+    Parity: reference render_pointcloud returns
+    (output[:C]/(w+1e-7), w) — models/utils.py:315.
+    """
+    render, weight, _ = _render_impl(
+        points, data, H, W,
+        jnp.asarray(focal, points.dtype), jnp.asarray(baseline, points.dtype))
+    return render, weight
+
+
+def render_coverage(points: jnp.ndarray, H: int, W: int, focal,
+                    baseline) -> jnp.ndarray:
+    """Number of covered pixels (weight > 0) — the objective of
+    autozoom's 16x16 candidate search (common.py:86-141, which runs a
+    full render per candidate and counts ``existing > 0``). We run
+    the same z-buffered splat with an empty payload (C=0: only the
+    weight channel is scattered), so the count matches the full
+    render exactly at a quarter of the scatter traffic."""
+    data0 = jnp.zeros((points.shape[0], 0), points.dtype)
+    _, weight, _ = _render_impl(
+        points, data0, H, W,
+        jnp.asarray(focal, points.dtype), jnp.asarray(baseline, points.dtype))
+    return jnp.sum(weight > 0.0)

@@ -1,0 +1,155 @@
+"""Image resize / pad utilities.
+
+Host-side (numpy/cv2) versions mirror the reference semantics
+(utils/io_utils.py:226-325: scaledown_maxsize, resize_pad,
+square_pad_resize, pad2divisior); device-side versions (jnp) are used
+inside jitted pipelines where the shape is static.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 is present in the image
+    cv2 = None
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# host-side (numpy) — shape planning happens on host, compute on device
+# ---------------------------------------------------------------------------
+
+def scaledown_size(h: int, w: int, max_size: int,
+                   divisor: Optional[int] = None) -> Tuple[int, int]:
+    """Target (h, w) after scaling the long side down to ``max_size``.
+
+    Never upscales. Matches reference scaledown_maxsize rounding.
+    """
+    ratio = max_size / max(h, w)
+    if ratio < 1:
+        if h > w:
+            h, w = max_size, max(1, int(round(w * ratio)))
+        else:
+            h, w = max(1, int(round(h * ratio))), max_size
+    if divisor is not None:
+        h = int(np.ceil(h / divisor) * divisor)
+        w = int(np.ceil(w / divisor) * divisor)
+    return h, w
+
+
+def scaledown_maxsize(img: np.ndarray, max_size: int,
+                      divisor: Optional[int] = None) -> np.ndarray:
+    """Scale image so its long side is <= max_size (host-side, linear)."""
+    h0, w0 = img.shape[:2]
+    h, w = scaledown_size(h0, w0, max_size, divisor)
+    if (h, w) == (h0, w0):
+        return img
+    if cv2 is not None:
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    return np.asarray(
+        jax.image.resize(jnp.asarray(img), (h, w) + img.shape[2:], 'linear'))
+
+
+def resize_pad(img: np.ndarray, tgt_size: int, pad_value=0):
+    """Downscale long side to tgt_size, pad bottom/right to a square.
+
+    Returns (img, (pad_top, pad_bottom, pad_left, pad_right)).
+    """
+    img = scaledown_maxsize(img, tgt_size)
+    h, w = img.shape[:2]
+    padb, padr = tgt_size - h, tgt_size - w
+    if padb > 0 or padr > 0:
+        pad_width = [(0, padb), (0, padr)] + [(0, 0)] * (img.ndim - 2)
+        img = np.pad(img, pad_width, constant_values=pad_value)
+    return img, (0, padb, 0, padr)
+
+
+def square_pad_resize(img: np.ndarray, tgt_size: int, pad_value: int = 114):
+    """Pad bottom/right to square then resize to (tgt_size, tgt_size)."""
+    h, w = img.shape[:2]
+    pad_h, pad_w = 0, 0
+    if w < h:
+        pad_w = h - w
+        w += pad_w
+    elif h < w:
+        pad_h = w - h
+        h += pad_h
+    pad_size = tgt_size - h
+    if pad_size > 0:
+        pad_h += pad_size
+        pad_w += pad_size
+    if pad_h > 0 or pad_w > 0:
+        pad_width = [(0, pad_h), (0, pad_w)] + [(0, 0)] * (img.ndim - 2)
+        img = np.pad(img, pad_width, constant_values=pad_value)
+    scale = tgt_size / img.shape[0]
+    if scale < 1:
+        if cv2 is not None:
+            img = cv2.resize(img, (tgt_size, tgt_size),
+                             interpolation=cv2.INTER_AREA)
+        else:
+            img = np.asarray(jax.image.resize(
+                jnp.asarray(img), (tgt_size, tgt_size) + img.shape[2:],
+                'linear'))
+    return img, scale, pad_h, pad_w
+
+
+def pad2divisor(img: np.ndarray, divisor: int, value=0):
+    h, w = img.shape[:2]
+    pad_h = int(np.ceil(h / divisor)) * divisor - h
+    pad_w = int(np.ceil(w / divisor)) * divisor - w
+    if pad_h or pad_w:
+        pad_width = [(0, pad_h), (0, pad_w)] + [(0, 0)] * (img.ndim - 2)
+        img = np.pad(img, pad_width, constant_values=value)
+    return img, (pad_h, pad_w)
+
+
+# ---------------------------------------------------------------------------
+# device-side (jnp) — for use inside jit
+# ---------------------------------------------------------------------------
+
+def resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear resize of (..., H, W, C) to (..., h, w, C) on device.
+
+    `jax.image.resize` with 'linear' matches torch's
+    interpolate(align_corners=False) convention.
+    """
+    shape = x.shape[:-3] + (h, w, x.shape[-1])
+    return jax.image.resize(x, shape, method='linear')
+
+
+def crop_center_resize(frame: jnp.ndarray, crop_h: int, crop_w: int,
+                       out_h: int, out_w: int) -> jnp.ndarray:
+    """Center crop (crop_h, crop_w) then resize to (out_h, out_w).
+
+    Device-side replacement for the reference's per-frame
+    cv2.getRectSubPix + cv2.resize (kenburns_effect.py:1069-1070) —
+    keeps the frame loop on the TPU.
+    """
+    H, W = frame.shape[-3], frame.shape[-2]
+    # getRectSubPix at center (W/2, H/2): src x of dst pixel j is
+    # j + (W - crop_w)/2 (bilinear at half-pixel offsets when parity
+    # differs). scale_and_translate expresses crop+resize in one op.
+    scale_y = out_h / crop_h
+    scale_x = out_w / crop_w
+    # Source box starts at (H - crop_h)/2. translate maps src->dst:
+    # dst = scale * src + translate, so translate = -scale * start.
+    ty = -scale_y * ((H - crop_h) / 2.0)
+    tx = -scale_x * ((W - crop_w) / 2.0)
+    return jax.image.scale_and_translate(
+        frame,
+        frame.shape[:-3] + (out_h, out_w, frame.shape[-1]),
+        method='linear',
+        scale=jnp.array([scale_y, scale_x], jnp.float32),
+        translation=jnp.array([ty, tx], jnp.float32),
+        spatial_dims=(frame.ndim - 3, frame.ndim - 2),
+    )
+
+
+def to_float_chw(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 HWC in [0,1] (we keep NHWC on TPU)."""
+    return img.astype(np.float32) / 255.0

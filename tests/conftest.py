@@ -1,0 +1,34 @@
+"""Test config: force an 8-device virtual CPU platform so
+sharding/pjit tests run fast and without TPU hardware.
+
+Note: the environment's sitecustomize registers the 'axon' TPU
+platform and overrides JAX_PLATFORMS at interpreter start, so the env
+var alone is not enough — we also reset jax.config before any backend
+is initialized."""
+import os
+
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(scope='session')
+def cpu_mesh():
+    """8-device mesh (data=4, model=2) for parallelism tests."""
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()).reshape(4, 2)
+    return Mesh(devs, ('data', 'model'))
