@@ -1,0 +1,72 @@
+"""Benchmark: the Ken Burns hot loop (the reference's headline
+workload — configs/3dkenburns.yaml defaults: 75 frames @ max_size
+1024 per clip, run on one real TPU chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+the real-time factor against the 25 fps output video rate — the
+reference pipeline renders well below 1.0x on its shipped defaults.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import cv2
+    import jax
+
+    from cartoonsegmentation_tpu.config import KenBurnsConfig
+    from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
+
+    img = cv2.imread('/root/reference/examples/kenburns_lion.png')
+    if img is None:  # fallback synthetic image
+        rng = np.random.RandomState(0)
+        img = (rng.rand(768, 1024, 3) * 255).astype(np.uint8)
+
+    cfg = KenBurnsConfig(max_size=1024, num_frame=75, depth_field=False,
+                         discfill_max_steps=64, auto_zoom=True)
+    pipe = KenBurnsPipeline(cfg)
+
+    state = pipe.generate_state(img)
+    obj_from, obj_to = pipe.autozoom(state)
+
+    # inpaint passes (counted separately; the per-frame loop is the
+    # steady-state cost that scales with clip length)
+    t0 = time.time()
+    for t in (0.0, 1.0):
+        su, sv, ds, _, _ = pipe._camera_params(t, obj_from, obj_to, state)
+        state = pipe.inpaint_pass(state, su, sv, ds)
+    jax.block_until_ready(state.cloud.points)
+    inpaint_s = time.time() - t0
+
+    steps = np.linspace(0.0, 1.0, cfg.num_frame)
+    # warmup (compile)
+    frames = pipe.render_frames(state, obj_from, obj_to, steps)
+    t0 = time.time()
+    frames = pipe.render_frames(state, obj_from, obj_to, steps)
+    dt = time.time() - t0
+    fps = cfg.num_frame / dt
+
+    result = {
+        'metric': 'kenburns_render_fps_1024',
+        'value': round(fps, 3),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps / 25.0, 3),
+        'extra': {
+            'frame_shape': list(frames.shape),
+            'inpaint_passes_s': round(inpaint_s, 3),
+            'render_s_total': round(dt, 3),
+            'device': str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -12,7 +12,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .pointcloud import render_coverage
+from .pointcloud import render_coverage_fast
 
 
 class DepthRange(NamedTuple):
@@ -109,7 +109,8 @@ def autozoom(points: jnp.ndarray, drange: DepthRange, int_width: int,
         shift = compute_shift(drange, u, v, depth_from, depth_to,
                               int_width, int_height, focal)
         pts = shift_points(points, shift)
-        return render_coverage(pts, int_height, int_width, focal, baseline)
+        return render_coverage_fast(pts, int_height, int_width,
+                                    focal, baseline)
 
     # chunked vmap: 16 candidates at a time keeps scatter buffers small
     cov = jax.lax.map(lambda uv: jax.vmap(coverage_one)(uv[0], uv[1]),

@@ -54,7 +54,9 @@ def _offset_table(max_steps: int):
     s = np.arange(1, max_steps + 1, dtype=np.float64)
     offx = _c_round(s[None, :] * dx[:, None]).astype(np.int32)
     offy = _c_round(s[None, :] * dy[:, None]).astype(np.int32)
-    return jnp.asarray(np.stack([offy, offx], axis=-1))  # (16, K, 2)
+    # NOTE: cached as numpy — a jnp array materialized here would be a
+    # tracer when first called under jit, leaking across traces.
+    return np.stack([offy, offx], axis=-1)  # (16, K, 2)
 
 
 def _first_hit(depth, py, px, offs, H, W):

@@ -175,6 +175,24 @@ def render_pointcloud(points: jnp.ndarray, data: jnp.ndarray, H: int,
     return render, weight
 
 
+def render_coverage_fast(points: jnp.ndarray, H: int, W: int, focal,
+                         baseline) -> jnp.ndarray:
+    """Approximate coverage: pixels receiving any positive bilinear
+    weight, WITHOUT the z-buffer passes. Differs from the full render
+    only at pixels whose degrid-lowered z-buffer rejects *every*
+    contributor — a handful of pixels, candidate-independent in
+    practice, so the autozoom argmax is unaffected while the 256-
+    candidate search becomes one cheap scatter per candidate."""
+    u, v, _, valid = _project(points, H, W, focal, baseline)
+    cx, cy, w = _corners(u, v)
+    out = jnp.zeros((H * W + 1,), points.dtype)
+    for c in range(4):
+        idx, inb = _flat_idx(cx[c], cy[c], H, W, extra_invalid=~valid)
+        out = out.at[idx].add(jnp.where(inb & valid, w[c], 0.0),
+                              mode='drop')
+    return jnp.sum(out[:H * W] > 0.0)
+
+
 def render_coverage(points: jnp.ndarray, H: int, W: int, focal,
                     baseline) -> jnp.ndarray:
     """Number of covered pixels (weight > 0) — the objective of

@@ -1,0 +1,430 @@
+"""KenBurnsPipeline — the flagship seg→depth→inpaint→render path.
+
+TPU re-design of reference anime_3dkenburns/kenburns_effect.py
+(KenBurnsPipeline). Key structural changes (SURVEY.md §7.0):
+
+- all pipeline state is a device pytree (`KenBurnsState`), the point
+  cloud has fixed capacity with masked append instead of torch.cat
+  growth (kenburns_effect.py:472-512)
+- the 75-frame loop is ONE `lax.scan` (frames leave the device once
+  as a (T,H,W,3) uint8 batch) instead of a python loop with a
+  GPU→CPU copy + cv2 crop per frame (kenburns_effect.py:1015-1072)
+- autozoom's 16×16 python search (common.py:86-141) is a vmapped
+  coverage program
+- inpainting runs the Flax Inpaint net whose forward embeds the
+  scatter splat; 'patchmatch'/'ldm' variants hook in as host-side
+  adapters at the same seam (kenburns_effect.py:441-514)
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import KenBurnsConfig, build_kenburns_cfg
+from ..instances import Instances
+from ..models.kenburns import DisparityEstimator, Inpaint, Refine
+from ..ops.bokeh import bokeh_blur
+from ..ops.camera import (DepthRange, autozoom, compute_shift, depth_range,
+                          shift_points)
+from ..ops.discfill import fill_disocclusion
+from ..ops.filters import valid_depth_mask
+from ..ops.pointcloud import depth_to_points, render_pointcloud
+from ..utils import LOGGER, crop_center_resize, scaledown_maxsize
+from .depth import adjust_disparity_by_instances, colorize_gray_r
+from .state import KenBurnsState, PointCloud
+
+
+class KenBurnsPipeline:
+
+    def __init__(self, cfg: Union[KenBurnsConfig, str, dict, None] = None,
+                 seed: int = 0):
+        self.cfg = build_kenburns_cfg(cfg)
+        self._seed = seed
+        self._disparity_net = DisparityEstimator()
+        self._inpaint_net = Inpaint()
+        self._refine_net = Refine()
+        self._disparity_vars = None
+        self._inpaint_vars = None
+        self._refine_vars = None
+        self._detector = None
+        self._jit_cache: Dict = {}
+
+    # -- weights -------------------------------------------------------
+    def _vars(self, which: str):
+        net = getattr(self, f'_{which}_net')
+        attr = f'_{which}_vars'
+        if getattr(self, attr) is None:
+            LOGGER.warning(f'kenburns {which} net: RANDOM init '
+                           '(no checkpoint loaded)')
+            key = jax.random.PRNGKey(self._seed)
+            if which == 'disparity':
+                dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+                v = net.init(key, dummy)
+            elif which == 'refine':
+                v = net.init(key, jnp.zeros((1, 64, 64, 3)),
+                             jnp.zeros((1, 16, 16, 1)))
+            else:
+                v = net.init(key, jnp.zeros((32, 32, 3)),
+                             jnp.ones((32, 32, 1)), jnp.zeros((3,)),
+                             16.0, 40.0)
+            setattr(self, attr, v)
+        return getattr(self, attr)
+
+    def load_torch_checkpoints(self, disparity: Optional[str] = None,
+                               refine: Optional[str] = None,
+                               inpaint: Optional[str] = None,
+                               vgg: Optional[str] = None) -> None:
+        from ..models import convert as C
+        if disparity or vgg:
+            params = {}
+            stats = {}
+            if disparity:
+                params['disparity'] = C.convert_disparity(
+                    C.load_torch_ckpt(disparity))
+            if vgg:
+                p, s = C.convert_semantics(C.load_torch_ckpt(vgg))
+                params['semantics'] = p
+                stats['semantics'] = s
+            self._disparity_vars = {'params': params,
+                                    'batch_stats': stats}
+        if refine:
+            self._refine_vars = {
+                'params': C.convert_refine(C.load_torch_ckpt(refine))}
+        if inpaint:
+            self._inpaint_vars = {
+                'params': C.convert_inpaint(C.load_torch_ckpt(inpaint))}
+
+    def set_detector(self, detector) -> None:
+        """Install an AnimeInsSeg (or any callable img→Instances)."""
+        self._detector = detector
+
+    # -- stage 1: state generation --------------------------------------
+    def generate_state(self, img: Union[str, np.ndarray],
+                       instances: Optional[Instances] = None
+                       ) -> KenBurnsState:
+        """Image → full device state (segmentation + depth + points).
+
+        Parity: kenburns_effect.py:898-951 (generate_kenburns_config).
+        """
+        import cv2
+        if isinstance(img, str):
+            img = cv2.imread(img)
+        cfg = self.cfg
+
+        if instances is None and self._detector is not None:
+            instances = self._detector.infer(img, cfg.pred_score_thr)
+
+        img = scaledown_maxsize(img, cfg.max_size)
+        H, W = img.shape[:2]
+        if instances is None:
+            instances = Instances.empty(cfg.max_instances, H, W)
+        else:
+            instances = instances.resize(H, W)
+
+        image = jnp.asarray(img.astype(np.float32) / 255.0)
+
+        disparity_raw = self._estimate_disparity(image)
+        state = self._prepare_state(image, disparity_raw, instances)
+        return state
+
+    def _estimate_disparity(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Run the configured depth estimator → (H, W, 1) disparity at
+        image resolution. Round-1: the 'default' 3D-Ken-Burns
+        disparity net; 'leres'/'zoe' fall back with a warning until
+        their Flax ports land."""
+        cfg = self.cfg
+        if cfg.depth_est not in ('default',):
+            LOGGER.warning(f'depth_est={cfg.depth_est} not yet ported; '
+                           'using default disparity net')
+        H, W = image.shape[:2]
+        key = ('disp', H, W)
+        if key not in self._jit_cache:
+            net = self._disparity_net
+
+            @jax.jit
+            def fn(variables, img):
+                d = net.apply(variables, img[None])[0]
+                return jax.image.resize(d, (H, W, 1), method='linear')
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](self._vars('disparity'), image)
+
+    def _prepare_state(self, image, disparity_raw, instances
+                       ) -> KenBurnsState:
+        cfg = self.cfg
+        H, W = image.shape[:2]
+        P = int(cfg.point_capacity_factor * H * W)
+        key = ('prep', H, W, P, cfg.depthest_use_medium)
+        if key not in self._jit_cache:
+            focal, baseline = cfg.focal, cfg.baseline
+            use_med = cfg.depthest_use_medium
+
+            @jax.jit
+            def fn(image, disparity, instances):
+                disparity = adjust_disparity_by_instances(
+                    disparity[..., 0], instances, use_med)[..., None]
+                disparity = disparity / (jnp.max(disparity) + 1e-12) \
+                    * baseline
+                depth = (focal * baseline) / (disparity + 1e-5)
+                valid = valid_depth_mask(disparity)
+                pts = depth_to_points((depth * valid)[..., 0], focal)
+                pts = pts.reshape(-1, 3)
+                dr = depth_range(depth[..., 0])
+                cloud = PointCloud.with_capacity(P)
+                cloud = cloud.append_masked(
+                    pts, image.reshape(-1, 3),
+                    disparity.reshape(-1), depth.reshape(-1),
+                    jnp.ones((H * W,), jnp.bool_))
+                return KenBurnsState(
+                    image=image, disparity=disparity, depth=depth,
+                    raw_points=pts, depth_min=dr.min_val,
+                    depth_min_u=dr.min_u, depth_min_v=dr.min_v,
+                    cloud=cloud, instances=instances)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](image, disparity_raw, instances)
+
+    # -- stage 2: autozoom ----------------------------------------------
+    def autozoom(self, state: KenBurnsState) -> Tuple[Dict, Dict]:
+        """Compute objFrom/objTo camera boxes (host dicts with static
+        crop sizes). Parity: kenburns_effect.py:953-967."""
+        cfg = self.cfg
+        H, W = state.hw
+        obj_from = {
+            'center_u': W / 2.0, 'center_v': H / 2.0,
+            'crop_w': int(math.floor(cfg.crop_ratio * W)),
+            'crop_h': int(math.floor(cfg.crop_ratio * H)),
+        }
+        best_u, best_v, crop_w_to, crop_h_to = autozoom(
+            state.raw_points, state.depth_range, W, H, cfg.focal,
+            cfg.baseline, cfg.autozoom_shift, cfg.autozoom_zoom,
+            cfg.crop_ratio)
+        obj_to = {
+            'center_u': obj_from['center_u'] + float(best_u),
+            'center_v': obj_from['center_v'] + float(best_v),
+            'crop_w': crop_w_to, 'crop_h': crop_h_to,
+        }
+        return obj_from, obj_to
+
+    # -- stage 3: inpaint passes ----------------------------------------
+    def _camera_params(self, t: float, obj_from, obj_to, state):
+        """Per-step camera interpolation (kenburns_effect.py:1017-1026).
+        Returns (shift_u, shift_v, depth_from_scale, crop_w, crop_h)
+        as python floats (traced arrays enter through state)."""
+        H, W = state.hw
+        fr, to = 1.0 - t, t
+        shift_u = fr * obj_from['center_u'] + to * obj_to['center_u'] \
+            - W / 2.0
+        shift_v = fr * obj_from['center_v'] + to * obj_to['center_v'] \
+            - H / 2.0
+        crop_w = fr * obj_from['crop_w'] + to * obj_to['crop_w']
+        crop_h = fr * obj_from['crop_h'] + to * obj_to['crop_h']
+        max_cw = max(obj_from['crop_w'], obj_to['crop_w'])
+        depth_scale = crop_w / max_cw
+        return shift_u, shift_v, depth_scale, crop_w, crop_h
+
+    def inpaint_pass(self, state: KenBurnsState, shift_u: float,
+                     shift_v: float, depth_scale: float) -> KenBurnsState:
+        """One Inpaint-net pass at a camera extreme; appends the newly
+        hallucinated points. Parity: kenburns_effect.py:441-514
+        (inpaint) with inpaint_type='default'."""
+        cfg = self.cfg
+        H, W = state.hw
+        key = ('inpaint', H, W, state.cloud.capacity)
+        if key not in self._jit_cache:
+            focal, baseline = cfg.focal, cfg.baseline
+            net = self._inpaint_net
+
+            @jax.jit
+            def fn(variables, state, shift_u, shift_v, depth_scale):
+                dr = state.depth_range
+                depth_from = dr.min_val
+                depth_to = dr.min_val * depth_scale
+                shift = compute_shift(dr, shift_u, shift_v, depth_from,
+                                      depth_to, W, H, focal)
+                shift = 1.1 * shift  # kenburns_effect.py:1012
+                segmask = state.instances.compose_masks()[..., None] \
+                    .astype(jnp.float32)
+                out = net.apply(variables, state.image, state.disparity,
+                                shift, focal, baseline, segmasks=segmask)
+                new_disp = out['disparity']
+                new_depth = (focal * baseline) / (new_disp + 1e-7)
+                valid = valid_depth_mask(new_disp)
+                pts = depth_to_points((new_depth * valid)[..., 0], focal)
+                pts = pts.reshape(-1, 3) - shift[None, :]
+                hole = (out['existing'][..., 0] == 0.0).reshape(-1)
+                cloud = state.cloud.append_masked(
+                    pts, out['image'].reshape(-1, 3),
+                    new_disp.reshape(-1), new_depth.reshape(-1), hole)
+                return state.replace(cloud=cloud)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](self._vars('inpaint'), state,
+                                    jnp.float32(shift_u),
+                                    jnp.float32(shift_v),
+                                    jnp.float32(depth_scale))
+
+    # -- stage 4: frame rendering ----------------------------------------
+    def render_frames(self, state: KenBurnsState, obj_from: Dict,
+                      obj_to: Dict, steps: np.ndarray,
+                      depth_field: Optional[bool] = None) -> np.ndarray:
+        """Render all frames in one scan; returns (T, H, W, 3) uint8
+        (BGR). Parity: kenburns_effect.py:1015-1072."""
+        cfg = self.cfg
+        if depth_field is None:
+            depth_field = cfg.depth_field
+        H, W = state.hw
+        T = len(steps)
+        max_cw = max(obj_from['crop_w'], obj_to['crop_w'])
+        max_ch = max(obj_from['crop_h'], obj_to['crop_h'])
+
+        # per-step camera scalars (host → device arrays)
+        cams = np.stack([
+            np.asarray(self._camera_params(float(t), obj_from, obj_to,
+                                           state)[:3], np.float32)
+            for t in steps])  # (T, 3): shift_u, shift_v, depth_scale
+
+        key = ('frames', H, W, state.cloud.capacity, T, max_cw, max_ch,
+               bool(depth_field), cfg.discfill_max_steps)
+        if key not in self._jit_cache:
+            focal, baseline = cfg.focal, cfg.baseline
+            dcfg = (cfg.dof_num_samples, cfg.lightness_factor,
+                    cfg.depth_factor, cfg.dof_speed)
+            max_steps = cfg.discfill_max_steps
+
+            def render_one(state, cam, focal_planes):
+                shift_u, shift_v, depth_scale, t = (cam[0], cam[1],
+                                                    cam[2], cam[3])
+                dr = state.depth_range
+                shift = compute_shift(dr, shift_u, shift_v, dr.min_val,
+                                      dr.min_val * depth_scale, W, H,
+                                      focal)
+                pts = shift_points(state.cloud.points, shift)
+                data = jnp.concatenate(
+                    [state.cloud.colors, state.cloud.depth[:, None]], 1)
+                render, existing = render_pointcloud(
+                    pts, data, H, W, focal, baseline)
+                filled = fill_disocclusion(
+                    render, render[..., 3] * (existing[..., 0] > 0),
+                    max_steps=max_steps)
+                frame = filled[..., :3]
+                if depth_field:
+                    ns, lf, dfac, dof_speed = dcfg
+                    depth_r = colorize_gray_r(filled[..., 3])
+                    fp_start, fp_end = focal_planes
+                    focal_int = 1.0 / (1.0 + jnp.exp(
+                        (0.5 - t) * dof_speed))
+                    fp = focal_int * fp_end + (1 - focal_int) * fp_start
+                    frame = bokeh_blur(jnp.clip(frame, 0.0, 1.0),
+                                       depth_r, ns, lf, dfac,
+                                       focal_plane=fp)
+                frame = jnp.clip(frame, 0.0, 1.0)
+                frame = crop_center_resize(frame, max_ch, max_cw, H, W)
+                return (jnp.clip(frame, 0.0, 1.0) * 255.0 + 0.5
+                        ).astype(jnp.uint8)
+
+            @jax.jit
+            def fn(state, cams):
+                # focal planes from the t=0 frame (reference computes
+                # them at frame_idx==0; kenburns_effect.py:1045-1059)
+                if depth_field:
+                    shift = compute_shift(
+                        state.depth_range, cams[0, 0], cams[0, 1],
+                        state.depth_min, state.depth_min * cams[0, 2],
+                        W, H, focal)
+                    pts = shift_points(state.cloud.points, shift)
+                    data = jnp.concatenate(
+                        [state.cloud.colors, state.cloud.depth[:, None]],
+                        1)
+                    render, existing = render_pointcloud(
+                        pts, data, H, W, focal, baseline)
+                    filled = fill_disocclusion(
+                        render, render[..., 3] * (existing[..., 0] > 0),
+                        max_steps=max_steps)
+                    depth_r = colorize_gray_r(filled[..., 3])
+                    has_ins = state.instances.count() > 0
+                    # median depth per instance; take the max
+                    def ins_median(mask, v):
+                        vals = jnp.where(mask, depth_r, jnp.inf)
+                        s = jnp.sort(vals.reshape(-1))
+                        cnt = jnp.sum(mask).astype(jnp.int32)
+                        med = s[jnp.maximum((cnt - 1) // 2, 0)]
+                        return jnp.where(v & (cnt > 0), med, -jnp.inf)
+                    meds = jax.vmap(ins_median)(state.instances.masks,
+                                                state.instances.valid)
+                    fp_end = jnp.where(has_ins, jnp.max(meds), 255.0)
+                    fp_start = jnp.where(
+                        has_ins,
+                        jnp.where(jnp.abs(255.0 - fp_end)
+                                  > jnp.abs(fp_end), 255.0, 0.0),
+                        0.0)
+                else:
+                    fp_start = jnp.float32(0.0)
+                    fp_end = jnp.float32(255.0)
+
+                def step(carry, cam):
+                    return carry, render_one(carry, cam,
+                                             (fp_start, fp_end))
+                _, frames = jax.lax.scan(step, state, cams)
+                return frames
+            self._jit_cache[key] = fn
+
+        cams_t = np.concatenate(
+            [cams, np.asarray(steps, np.float32)[:, None]], 1)
+        frames = self._jit_cache[key](state, jnp.asarray(cams_t))
+        return np.asarray(jax.device_get(frames))
+
+    # -- orchestration -----------------------------------------------------
+    def process_kenburns(self, state: KenBurnsState, obj_from: Dict,
+                         obj_to: Dict, steps=None, inpaint: bool = True
+                         ) -> np.ndarray:
+        cfg = self.cfg
+        if steps is None:
+            steps = np.linspace(0.0, 1.0, cfg.num_frame)
+        if inpaint and cfg.inpaint_type == 'default':
+            for t in (0.0, 1.0):
+                su, sv, ds, _, _ = self._camera_params(
+                    t, obj_from, obj_to, state)
+                state = self.inpaint_pass(state, su, sv, ds)
+        elif inpaint:
+            state = self._inpaint_host(state, obj_from, obj_to)
+        return self.render_frames(state, obj_from, obj_to, steps)
+
+    def _inpaint_host(self, state, obj_from, obj_to):
+        """patchmatch / ldm inpainting adapters (host-side seam).
+        Round-1: falls back to the default net."""
+        LOGGER.warning(f'inpaint_type={self.cfg.inpaint_type} adapter '
+                       'not yet wired; using default inpaint net')
+        for t in (0.0, 1.0):
+            su, sv, ds, _, _ = self._camera_params(
+                t, obj_from, obj_to, state)
+            state = self.inpaint_pass(state, su, sv, ds)
+        return state
+
+    def run(self, img: Union[str, np.ndarray],
+            video_path: Optional[str] = None) -> np.ndarray:
+        """Full flagship path: image → frames (→ optional mp4)."""
+        state = self.generate_state(img)
+        obj_from, obj_to = self.autozoom(state)
+        frames = self.process_kenburns(state, obj_from, obj_to)
+        if video_path:
+            write_video(frames, video_path, playback=self.cfg.playback)
+        return frames
+
+
+def write_video(frames: np.ndarray, path: str, fps: int = 25,
+                playback: bool = True) -> None:
+    """frames (T,H,W,3) BGR uint8 → mp4 (host-side encoder).
+    Parity: kenburns_effect.py:1086-1090 (palindrome playback)."""
+    seq = list(frames)
+    if playback:
+        seq = seq + seq[::-1][1:-1]
+    import cv2
+    h, w = seq[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'), fps,
+                         (w, h))
+    for f in seq:
+        vw.write(f)
+    vw.release()

@@ -1,0 +1,168 @@
+"""Second-stage mask refinement (refinenet_isnet / animeseg).
+
+Parity: reference animeinsseg/__init__.py:623-665 (set_refine_method,
+_postprocess_refine) and :78-117 (animeseg_refine). The per-instance
+4-channel crops are batched over the *static* instance capacity and
+chunked through the ISNet in groups, one jitted program per
+(capacity, refine_size) bucket.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..instances import Instances
+from ..models.isnet import ISNetDIS, convert_isnet
+from ..utils import LOGGER, resize_bilinear_ac, scaledown_size
+
+
+class ISNetRefiner:
+    """refinenet_isnet: ISNetDIS(in_ch=4: BGR + coarse mask)."""
+
+    def __init__(self, refine_size: int = 720, mask_thr: float = 0.3,
+                 chunk: int = 4, seed: int = 0):
+        self.refine_size = refine_size
+        self.mask_thr = mask_thr
+        self.chunk = chunk
+        self.net = ISNetDIS(in_ch=4)
+        self._variables = None
+        self._seed = seed
+        self._jit_cache = {}
+
+    def _vars(self):
+        if self._variables is None:
+            LOGGER.warning('ISNetRefiner: RANDOM init (no checkpoint)')
+            s = 64
+            self._variables = self.net.init(
+                jax.random.PRNGKey(self._seed),
+                jnp.zeros((1, s, s, 4), jnp.float32))
+        return self._variables
+
+    def load_torch_checkpoint(self, path: str) -> None:
+        from ..models.convert import load_torch_ckpt
+        self._variables = convert_isnet(load_torch_ckpt(path))
+
+    # ------------------------------------------------------------------
+    def __call__(self, instances: Instances, img_bgr: np.ndarray
+                 ) -> Instances:
+        if instances.is_empty_host():
+            return instances
+        H, W = img_bgr.shape[:2]
+        S = self.refine_size
+        nh, nw = scaledown_size(H, W, S)
+        N = instances.capacity
+
+        key = (N, S, H, W)
+        if key not in self._jit_cache:
+            net, chunk, thr = self.net, self.chunk, self.mask_thr
+
+            @jax.jit
+            def fn(variables, image_small, masks, valid):
+                # image_small: (nh, nw, 3) float; pad bottom/right to S
+                img = jnp.pad(image_small,
+                              ((0, S - nh), (0, S - nw), (0, 0)))
+                m = jax.image.resize(masks.astype(jnp.float32),
+                                     (N, nh, nw), method='linear')
+                m = jnp.pad(m, ((0, 0), (0, S - nh), (0, S - nw)))
+                batch = jnp.concatenate(
+                    [jnp.broadcast_to(img[None], (N, S, S, 3)),
+                     m[..., None]], -1)
+
+                def run(chunk_batch):
+                    sides, _ = net.apply(variables, chunk_batch)
+                    return jax.nn.sigmoid(sides[0][..., 0])
+
+                nchunks = max(N // chunk, 1)
+                preds = jax.lax.map(
+                    run, batch[:nchunks * chunk].reshape(
+                        nchunks, chunk, S, S, 4))
+                preds = preds.reshape(-1, S, S)[:N]
+                preds = preds[:, :nh, :nw, None]
+                preds = resize_bilinear_ac(preds, H, W)[..., 0]
+                return (preds > thr) & valid[:, None, None]
+            self._jit_cache[key] = fn
+
+        small = jax.image.resize(
+            jnp.asarray(img_bgr.astype(np.float32) / 255.0),
+            (nh, nw, 3), method='linear')
+        new_masks = self._jit_cache[key](
+            self._vars(), small, instances.masks, instances.valid)
+        return instances.replace(masks=new_masks)
+
+
+class AnimeSegRefiner:
+    """'animeseg': whole-image ISNet (3ch) mask intersected with each
+    instance mask when the intersection keeps >30% of the area
+    (animeinsseg/__init__.py:78-117)."""
+
+    def __init__(self, input_size: int = 1024, seg_thr: float = 0.5,
+                 seed: int = 0):
+        self.input_size = input_size
+        self.seg_thr = seg_thr
+        self.net = ISNetDIS(in_ch=3)
+        self._variables = None
+        self._seed = seed
+        self._jit_cache = {}
+
+    def _vars(self):
+        if self._variables is None:
+            LOGGER.warning('AnimeSegRefiner: RANDOM init (no checkpoint)')
+            self._variables = self.net.init(
+                jax.random.PRNGKey(self._seed),
+                jnp.zeros((1, 64, 64, 3), jnp.float32))
+        return self._variables
+
+    def load_torch_checkpoint(self, path: str) -> None:
+        from ..models.convert import load_torch_ckpt
+        self._variables = convert_isnet(load_torch_ckpt(path))
+
+    def __call__(self, instances: Instances, img_bgr: np.ndarray
+                 ) -> Instances:
+        if instances.is_empty_host():
+            return instances
+        H, W = img_bgr.shape[:2]
+        S = self.input_size
+        nh, nw = scaledown_size(H, W, S)
+        key = (instances.capacity, S, H, W)
+        if key not in self._jit_cache:
+            net, thr = self.net, self.seg_thr
+
+            @jax.jit
+            def fn(variables, image_small, masks, valid):
+                img = jnp.pad(image_small,
+                              ((0, S - nh), (0, S - nw), (0, 0)))
+                sides, _ = net.apply(variables, img[None])
+                pred = jax.nn.sigmoid(sides[0][0, :nh, :nw, 0])
+                pred = resize_bilinear_ac(pred[..., None][None],
+                                          H, W)[0, ..., 0]
+                whole = pred > thr
+                refined = masks & whole[None]
+                area0 = jnp.sum(masks, axis=(1, 2))
+                area1 = jnp.sum(refined, axis=(1, 2))
+                take = (area1 / jnp.maximum(area0, 1)) > 0.3
+                out = jnp.where(take[:, None, None], refined, masks)
+                return out & valid[:, None, None]
+            self._jit_cache[key] = fn
+
+        # reference converts BGR→RGB before this net
+        rgb = img_bgr[..., ::-1].astype(np.float32) / 255.0
+        small = jax.image.resize(jnp.asarray(rgb), (nh, nw, 3),
+                                 method='linear')
+        new_masks = self._jit_cache[key](
+            self._vars(), small, instances.masks, instances.valid)
+        return instances.replace(masks=new_masks)
+
+
+def make_refiner(method: str = 'refinenet_isnet', refine_size: int = 720,
+                 mask_thr: float = 0.3) -> Optional[object]:
+    if method in (None, 'none', ''):
+        return None
+    if method == 'refinenet_isnet':
+        return ISNetRefiner(refine_size, mask_thr)
+    if method == 'animeseg':
+        return AnimeSegRefiner(max(refine_size, 1024))
+    raise ValueError(f'unknown refine method: {method}')

@@ -1,0 +1,152 @@
+"""AnimeInsSeg — anime instance segmentation pipeline (TPU-native).
+
+Equivalent of reference animeinsseg/__init__.py (AnimeInsSeg): detect
+→ score filter → (optional) second-stage mask refinement → Instances.
+The mmdet test pipeline (Resize keep-ratio to det_size + Pad to
+square + BGR normalization) is reproduced host-side; the forward +
+fixed-shape postprocess is one jitted XLA program per image-shape
+bucket.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import KenBurnsConfig
+from ..instances import Instances
+from ..models.rtmdet import AnimeDetector, postprocess
+from ..utils import LOGGER
+
+# RTMDet data_preprocessor constants (BGR order, bgr_to_rgb=False)
+_MEAN = np.array([103.53, 116.28, 123.675], np.float32)
+_STD = np.array([57.375, 57.12, 58.395], np.float32)
+_PAD_VAL = 114.0
+
+
+class AnimeInsSeg:
+    """Detector wrapper with lazy jit per input bucket.
+
+    Without a converted checkpoint the detector runs with random
+    weights (useful for benchmarking / integration); call
+    ``load_torch_checkpoint`` to install published weights.
+    """
+
+    def __init__(self, det_size: int = 640, mask_thr: float = 0.3,
+                 max_instances: int = 16, dtype: Optional[str] = None,
+                 seed: int = 0):
+        self.det_size = det_size
+        self.mask_thr = mask_thr
+        self.max_instances = max_instances
+        self.model = AnimeDetector(dtype=dtype)
+        self._variables = None
+        self._seed = seed
+        self.refine = None  # installed by set_refine_method
+
+    # ------------------------------------------------------------------
+    def _ensure_variables(self):
+        if self._variables is None:
+            LOGGER.warning('AnimeInsSeg: initializing RANDOM detector '
+                           'weights (no checkpoint loaded)')
+            dummy = jnp.zeros((1, self.det_size, self.det_size, 3),
+                              jnp.float32)
+            self._variables = self.model.init(
+                jax.random.PRNGKey(self._seed), dummy)
+        return self._variables
+
+    def load_variables(self, variables) -> None:
+        self._variables = variables
+
+    # ------------------------------------------------------------------
+    def _preprocess(self, img_bgr: np.ndarray):
+        """Keep-ratio resize to det_size + bottom/right pad + normalize.
+
+        Returns (batched input, scale, (nh, nw))."""
+        import cv2
+        h, w = img_bgr.shape[:2]
+        scale = self.det_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        resized = cv2.resize(img_bgr, (nw, nh),
+                             interpolation=cv2.INTER_LINEAR)
+        canvas = np.full((self.det_size, self.det_size, 3), _PAD_VAL,
+                         np.float32)
+        canvas[:nh, :nw] = resized.astype(np.float32)
+        canvas = (canvas - _MEAN) / _STD
+        return canvas[None], scale, (nh, nw)
+
+    def _run_device(self, x: np.ndarray, score_thr: float):
+        variables = self._ensure_variables()
+        if getattr(self, '_compiled', None) is None:
+            det_size, max_det, mask_thr = \
+                self.det_size, self.max_instances, self.mask_thr
+
+            @jax.jit
+            def fn(variables, x):
+                cls_out, reg_out, krn_out, mask_feat = self.model.apply(
+                    variables, x)
+                return postprocess(
+                    tuple(cls_out), tuple(reg_out), tuple(krn_out),
+                    mask_feat, score_thr=0.0, mask_thr=mask_thr,
+                    pre_topk=512, max_det=max_det,
+                    input_h=det_size, input_w=det_size)
+            self._compiled = fn
+        out = self._compiled(variables, jnp.asarray(x))
+        # score threshold applied outside jit (traced value, no recompile)
+        valid = out['valid'] & (out['scores'] > score_thr)
+        return {**out, 'valid': valid,
+                'masks': out['masks'] & valid[:, None, None]}
+
+    # ------------------------------------------------------------------
+    def infer(self, img: Union[str, np.ndarray],
+              pred_score_thr: float = 0.3,
+              output_type: str = 'instances') -> Instances:
+        """Run detection on one image (path or BGR array).
+
+        Parity: animeinsseg/__init__.py:401-504 (infer/_det_forward/
+        _infer_simple), minus tags (see Tagger adapter).
+        """
+        import cv2
+        if isinstance(img, str):
+            img = cv2.imread(img)
+        h, w = img.shape[:2]
+        x, scale, (nh, nw) = self._preprocess(img)
+        out = self._run_device(x, pred_score_thr)
+
+        # rescale to original image space
+        masks = out['masks'][:, :nh, :nw]
+        masks = jax.image.resize(
+            masks.astype(jnp.float32),
+            (masks.shape[0], h, w), method='linear') > 0.5
+        bboxes = out['bboxes'] / scale
+        bboxes = jnp.clip(bboxes,
+                          jnp.zeros((4,)),
+                          jnp.asarray([w, h, w, h], jnp.float32))
+        # xyxy → xywh (reference _det_forward returns xywh int)
+        xywh = jnp.concatenate(
+            [bboxes[:, :2], bboxes[:, 2:] - bboxes[:, :2]], 1)
+        ins = Instances(masks=masks, bboxes=jnp.round(xywh),
+                        scores=out['scores'], valid=out['valid'])
+        if self.refine is not None:
+            ins = self.refine(ins, img)
+        return ins
+
+    def set_refine_method(self, refine_method: str = 'none',
+                          refine_size: int = 720) -> None:
+        """Parity: animeinsseg/__init__.py:623-636."""
+        from .refine import make_refiner
+        self.refine = make_refiner(refine_method, refine_size,
+                                   self.mask_thr)
+
+    # ------------------------------------------------------------------
+    def load_torch_checkpoint(self, path: str) -> None:
+        """Convert + install the published rtmdetl ckpt (name mapping
+        in models/convert.py; exercised once real weights are on
+        disk)."""
+        from ..models import convert as C
+        sd = C.load_torch_ckpt(path)
+        from ..models.convert_rtmdet import convert_rtmdet
+        variables = convert_rtmdet(sd)
+        self._variables = variables

@@ -1,0 +1,220 @@
+"""Instance-aware style editing / repainting.
+
+Parity: reference run_style.py:54-273 — per image:
+detect + tag instances → fill background (on-TPU fill replacing
+PatchMatch) → tag background → repaint background (img2img +
+ControlNet) → composite foreground back → inpaint each instance with
+its own prompt, iterated ``niter`` times. Mask/prompt caching dir
+matches the reference layout so cached runs interoperate.
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from dataclasses import dataclass, field
+from random import randint
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..ops.inpaint_fill import inpaint as fill_inpaint
+from ..utils import LOGGER
+from ..serving.sd_webui import (b64_2img, img2b64, run_img2img,
+                                run_sdinpaint)
+
+
+def long_side_to(h: int, w: int, long_side: int):
+    """/32-rounded resize target (run_style.py:42-52)."""
+    asp = h / w
+    if asp > 1:
+        h = int(round(long_side / 32)) * 32
+        w = int(round(h / asp / 32)) * 32
+    else:
+        w = int(round(long_side / 32)) * 32
+        h = int(round(w * asp / 32)) * 32
+    return h, w
+
+
+@dataclass
+class StyleConfig:
+    url: str = 'http://127.0.0.1:7860/sdapi/v1/img2img'
+    style_prompt: str = ''
+    bg_nprompt: str = ''
+    global_nprompt: str = ''
+    long_side: int = 768
+    niter: int = 1
+    random_seed: bool = False
+    apply_bg_tagger: bool = False
+    apply_fg_tagger: bool = True
+    mask_blur: int = 4
+    inpainting_fill: int = 1
+    inpaint_full_res: int = 1
+    inpaint_full_res_padding: int = 32
+    denoising_strength: float = 0.75
+    sd_params: Dict = field(default_factory=dict)
+    cache_masks_dir: str = 'workspace/style_cache'
+    save_dir: str = 'repaint_output'
+    auth: Optional[tuple] = None
+
+
+class StyleEditor:
+
+    def __init__(self, cfg: StyleConfig, detector=None, tagger=None):
+        self.cfg = cfg
+        self.detector = detector  # AnimeInsSeg-compatible
+        self.tagger = tagger      # callable img_bgr → (tags, char_tags)
+
+    # ------------------------------------------------------------------
+    def prepare(self, img_bgr: np.ndarray, imname: str):
+        """Detect, tag, background-fill, cache — returns
+        (bg RGB, mask_fg L, masks list, fg_prompts, bg_prompt)."""
+        import cv2
+        cfg = self.cfg
+        os.makedirs(cfg.cache_masks_dir, exist_ok=True)
+        promptp = osp.join(cfg.cache_masks_dir, f'{imname}_prompts.json')
+
+        H, W = img_bgr.shape[:2]
+        h, w = long_side_to(H, W, cfg.long_side)
+        img_resized = cv2.resize(img_bgr, (w, h),
+                                 interpolation=cv2.INTER_LANCZOS4)
+
+        if osp.exists(promptp):
+            return self._load_cache(promptp, imname)
+
+        if self.detector is None:
+            raise RuntimeError('StyleEditor.prepare needs a detector')
+        instances = self.detector.infer(img_bgr)
+        import jax
+        masks_np = np.asarray(jax.device_get(instances.masks))
+        valid = np.asarray(jax.device_get(instances.valid))
+        if not valid.any():
+            return None
+
+        prompts_dict = {}
+        masks, fg_prompts = [], []
+        for i in np.nonzero(valid)[0]:
+            m = cv2.resize(masks_np[i].astype(np.uint8) * 255, (w, h),
+                           interpolation=cv2.INTER_AREA)
+            savename = f'{imname}_{str(i).zfill(3)}.png'
+            cv2.imwrite(osp.join(cfg.cache_masks_dir, savename), m)
+            masks.append(m)
+            prompt = ''
+            if self.tagger is not None:
+                x, y, bw, bh = np.asarray(
+                    jax.device_get(instances.bboxes))[i].astype(int)
+                crop = img_bgr[y:y + bh, x:x + bw].copy()
+                mask_crop = masks_np[i][y:y + bh, x:x + bw]
+                crop[~mask_crop] = 255
+                tags, ctags = self.tagger(crop)
+                tags = [t for t in tags if t not in ctags]
+                prompt = ','.join(tags).replace('_', ' ')
+            prompts_dict[savename] = prompt
+            fg_prompts.append(prompt)
+
+        mask_fg = cv2.resize(
+            (np.any(masks_np[valid], axis=0)).astype(np.uint8) * 255,
+            (w, h), interpolation=cv2.INTER_AREA)
+        bg_bgr = fill_inpaint(img_resized, mask_fg, patch_size=3)
+        cv2.imwrite(osp.join(cfg.cache_masks_dir,
+                             f'{imname}_bg_repaint.png'), bg_bgr)
+        cv2.imwrite(osp.join(cfg.cache_masks_dir,
+                             f'{imname}_mask_fg.png'), mask_fg)
+        bg_prompt = ''
+        if self.tagger is not None:
+            tags, _ = self.tagger(bg_bgr)
+            bg_prompt = ','.join(t.replace('_', ' ') for t in tags)
+        prompts_dict[f'{imname}_bg_repaint.png'] = bg_prompt
+        with open(promptp, 'w') as f:
+            json.dump(prompts_dict, f)
+
+        bg_rgb = bg_bgr[..., ::-1]
+        return (bg_rgb, mask_fg, masks, fg_prompts, bg_prompt,
+                img_resized[..., ::-1])
+
+    def _load_cache(self, promptp: str, imname: str):
+        import cv2
+        cfg = self.cfg
+        with open(promptp) as f:
+            prompts_dict = json.load(f)
+        masks, fg_prompts, bg_prompt, bg = [], [], '', None
+        for name, prompt in prompts_dict.items():
+            p = osp.join(cfg.cache_masks_dir, name)
+            im = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+            if name.endswith('bg_repaint.png'):
+                bg_prompt, bg = prompt, im[..., ::-1]
+            else:
+                masks.append(im)
+                fg_prompts.append(prompt)
+        mask_fg = cv2.imread(
+            osp.join(cfg.cache_masks_dir, f'{imname}_mask_fg.png'),
+            cv2.IMREAD_GRAYSCALE)
+        return bg, mask_fg, masks, fg_prompts, bg_prompt, None
+
+    # ------------------------------------------------------------------
+    def repaint(self, img_bgr: np.ndarray, imname: str) -> List[str]:
+        """Full onebyone repaint loop; returns saved image paths."""
+        import cv2
+        cfg = self.cfg
+        prep = self.prepare(img_bgr, imname)
+        if prep is None:
+            LOGGER.info('no fg instances found')
+            return []
+        bg_rgb, mask_fg, masks, fg_prompts, bg_prompt, img_rgb = prep
+        if img_rgb is None:
+            H, W = img_bgr.shape[:2]
+            h, w = long_side_to(H, W, cfg.long_side)
+            img_rgb = cv2.resize(img_bgr, (w, h),
+                                 interpolation=cv2.INTER_LANCZOS4)[..., ::-1]
+
+        h, w = img_rgb.shape[:2]
+        data = dict(cfg.sd_params)
+        data.setdefault('width', w)
+        data.setdefault('height', h)
+        data.setdefault('seed', 0)
+        data_inpaint = dict(data)
+        data_inpaint.update({
+            'mask_blur': cfg.mask_blur,
+            'inpainting_fill': cfg.inpainting_fill,
+            'inpaint_full_res': cfg.inpaint_full_res,
+            'inpaint_full_res_padding': cfg.inpaint_full_res_padding,
+            'denoising_strength': cfg.denoising_strength,
+        })
+
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        saved = []
+        img_repainted = img_rgb
+        out_b64 = None
+        for it in range(cfg.niter):
+            seed = randint(0, 65536) if cfg.random_seed \
+                else data['seed'] + it
+            data['seed'] = data_inpaint['seed'] = seed
+
+            if it == 0:
+                prompt = (cfg.style_prompt + ',' +
+                          (bg_prompt + ',' if cfg.apply_bg_tagger else '')
+                          ).strip(',')
+                out_b64 = run_img2img(img2b64(bg_rgb), data, prompt,
+                                      cfg.bg_nprompt, cfg.url, cfg.auth)
+                bg_repainted = b64_2img(out_b64)
+                alpha = (np.asarray(mask_fg, np.float32) / 255.0)[..., None]
+                img_repainted = (img_repainted * alpha +
+                                 bg_repainted[..., :3] * (1 - alpha)
+                                 ).astype(np.uint8)
+
+            for fg_prompt, mask in zip(fg_prompts, masks):
+                prompt = (cfg.style_prompt + ',' +
+                          (fg_prompt + ',' if cfg.apply_fg_tagger else '')
+                          ).strip(',')
+                out_b64 = run_sdinpaint(img2b64(img_repainted), mask,
+                                        data_inpaint, prompt,
+                                        cfg.global_nprompt, cfg.url,
+                                        cfg.auth)
+                img_repainted = b64_2img(out_b64)[..., :3]
+
+            outp = osp.join(cfg.save_dir,
+                            f'{imname}_onebyone_niter{it}_output_'
+                            f'{seed}.png')
+            cv2.imwrite(outp, img_repainted[..., ::-1])
+            saved.append(outp)
+        return saved

@@ -1,0 +1,114 @@
+"""stable-diffusion-webui HTTP adapter (out-of-process service seam).
+
+Parity: reference animeinsseg/inpainting/ldm_inpaint.py:310-353
+(ldm_inpaint_webui), utils/io_utils.py:425-467 (img2b64 /
+submit_request) and run_style.py:25-40 (run_sdinpaint). The retry
+loop is bounded here (the reference retries forever and exit()s the
+process — io_utils.py:444-467).
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..utils import LOGGER
+
+
+def img2b64(img: np.ndarray) -> str:
+    """ndarray (RGB or L) → base64 PNG string."""
+    from PIL import Image
+    if isinstance(img, np.ndarray):
+        img = Image.fromarray(img)
+    buf = io.BytesIO()
+    img.save(buf, format='PNG')
+    return base64.b64encode(buf.getvalue()).decode('utf-8')
+
+
+def b64_2img(b64: str) -> np.ndarray:
+    from PIL import Image
+    return np.array(Image.open(io.BytesIO(base64.b64decode(b64))))
+
+
+def submit_request(url: str, data: str, auth: Optional[Tuple[str, str]]
+                   = None, retries: int = 5, wait_time: float = 5.0):
+    import requests
+    last = None
+    for attempt in range(retries):
+        try:
+            resp = requests.post(url, data=data, auth=auth, timeout=600)
+            resp.raise_for_status()
+            return resp
+        except Exception as e:  # noqa: BLE001 — network seam
+            last = e
+            LOGGER.warning(f'sd-webui request failed '
+                           f'({attempt + 1}/{retries}): {e}; '
+                           f'retrying in {wait_time}s')
+            time.sleep(wait_time)
+    raise RuntimeError(f'sd-webui unreachable at {url}: {last}')
+
+
+def ldm_inpaint_webui(img: np.ndarray, mask: np.ndarray, resolution: int,
+                      url: str, prompt: str = '', neg_prompt: str = '',
+                      **options) -> np.ndarray:
+    """img2img inpaint at aspect-kept, /32-rounded resolution.
+
+    img: RGB uint8 (the reference converts from BGR before calling)."""
+    im_h, im_w = img.shape[:2]
+    if im_h > im_w:
+        W = resolution
+        H = int((im_h / im_w * resolution) // 32 * 32)
+    else:
+        H = resolution
+        W = int((im_w / im_h * resolution) // 32 * 32)
+
+    auth = None
+    if options.get('username'):
+        auth = (options.pop('username'), options.pop('password'))
+    options.pop('username', None)
+    options.pop('password', None)
+
+    data = {
+        'init_images': [img2b64(img)],
+        'mask': img2b64(mask),
+        'prompt': prompt,
+        'negative_prompt': neg_prompt,
+        'width': W,
+        'height': H,
+        **options,
+    }
+    resp = submit_request(url, json.dumps(data), auth=auth)
+    out = b64_2img(resp.json()['images'][0])
+    if out.shape[:2] != (im_h, im_w):
+        from PIL import Image
+        out = np.array(Image.fromarray(out).resize(
+            (im_w, im_h), resample=Image.Resampling.LANCZOS))
+    return out
+
+
+def run_img2img(img_b64: str, data: Dict, prompt: str, nprompt: str,
+                url: str, auth=None, controlnet_input: Optional[str] = None
+                ) -> str:
+    """txt2img/img2img round with optional ControlNet conditioning —
+    returns the output image b64 (run_style.py:25-40 semantics)."""
+    data = dict(data)
+    data['init_images'] = [img_b64]
+    data['prompt'] = prompt
+    data['negative_prompt'] = nprompt
+    cn = data.get('alwayson_scripts', {}).get('controlnet')
+    if cn and cn.get('args'):
+        cn['args'][0]['input_image'] = (controlnet_input or img_b64)
+    resp = submit_request(url, json.dumps(data), auth=auth)
+    return resp.json()['images'][0]
+
+
+def run_sdinpaint(img_b64: str, mask: np.ndarray, data: Dict,
+                  prompt: str, nprompt: str, url: str, auth=None) -> str:
+    data = dict(data)
+    data['mask'] = img2b64(mask)
+    return run_img2img(img_b64, data, prompt, nprompt, url, auth,
+                       controlnet_input=img_b64)

@@ -6,5 +6,6 @@ from .constants import (  # noqa: F401
 )
 from .image import (  # noqa: F401
     scaledown_size, scaledown_maxsize, resize_pad, square_pad_resize,
-    pad2divisor, resize_bilinear, crop_center_resize, to_float_chw,
+    pad2divisor, resize_bilinear, resize_bilinear_ac, crop_center_resize,
+    to_float_chw,
 )

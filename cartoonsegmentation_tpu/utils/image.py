@@ -122,6 +122,24 @@ def resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jax.image.resize(x, shape, method='linear')
 
 
+def resize_bilinear_ac(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True semantics (used by the
+    reference's refine-mask upsample, animeinsseg/__init__.py:659).
+
+    Sample positions: src = dst * (S-1)/(D-1). Expressed through
+    scale_and_translate: scale s = (D-1)/(S-1), translate t = 0.5 -
+    0.5*s (derived from out[o] = in((o + 0.5 - t)/s - 0.5))."""
+    H, W = x.shape[-3], x.shape[-2]
+    sy = (h - 1) / max(H - 1, 1)
+    sx = (w - 1) / max(W - 1, 1)
+    return jax.image.scale_and_translate(
+        x, x.shape[:-3] + (h, w, x.shape[-1]), method='linear',
+        scale=jnp.array([sy, sx], jnp.float32),
+        translation=jnp.array([0.5 - 0.5 * sy, 0.5 - 0.5 * sx],
+                              jnp.float32),
+        spatial_dims=(x.ndim - 3, x.ndim - 2))
+
+
 def crop_center_resize(frame: jnp.ndarray, crop_h: int, crop_w: int,
                        out_h: int, out_w: int) -> jnp.ndarray:
     """Center crop (crop_h, crop_w) then resize to (out_h, out_w).

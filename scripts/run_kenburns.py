@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""3D Ken Burns CLI (parity: reference run_kenburns.py).
+
+Example:
+  python scripts/run_kenburns.py --cfg configs/3dkenburns.yaml \
+      --input-img examples/kenburns_lion.png --save-dir /tmp/kb --verbose
+"""
+import argparse
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--cfg', default='configs/3dkenburns.yaml')
+    ap.add_argument('--input-img', required=True)
+    ap.add_argument('--save-dir', default='workspace/output')
+    ap.add_argument('--verbose', action='store_true',
+                    help='dump intermediate stages (depth, inpaint)')
+    ap.add_argument('--no-depth-field', action='store_true')
+    args = ap.parse_args()
+
+    import cv2
+    import numpy as np
+    from cartoonsegmentation_tpu.config import build_kenburns_cfg
+    from cartoonsegmentation_tpu.pipeline import (KenBurnsPipeline,
+                                                  write_video)
+
+    cfg = build_kenburns_cfg(args.cfg)
+    if args.no_depth_field:
+        cfg = cfg.replace(depth_field=False)
+    pipe = KenBurnsPipeline(cfg)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    name = osp.splitext(osp.basename(args.input_img))[0]
+
+    state = pipe.generate_state(args.input_img)
+    if args.verbose:
+        from cartoonsegmentation_tpu.pipeline.depth import colorize_gray_r
+        d = np.asarray(colorize_gray_r(state.disparity[..., 0]))
+        cv2.imwrite(osp.join(args.save_dir,
+                             f'tmp_stage_depth_final_{name}.png'),
+                    d.astype(np.uint8))
+
+    obj_from, obj_to = pipe.autozoom(state)
+    frames = pipe.process_kenburns(state, obj_from, obj_to)
+
+    out_path = osp.join(args.save_dir, f'{name}.mp4')
+    write_video(frames, out_path, playback=cfg.playback)
+    print(f'saved {len(frames)} frames -> {out_path}')
+
+
+if __name__ == '__main__':
+    main()

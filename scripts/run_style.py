@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Instance-aware style editing CLI (parity: reference run_style.py).
+
+Requires a running stable-diffusion-webui server (--url)."""
+import argparse
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--img_path', required=True)
+    ap.add_argument('--style-prompt', default='')
+    ap.add_argument('--bg_nprompt', default='')
+    ap.add_argument('--global-nprompt', default='')
+    ap.add_argument('--url',
+                    default='http://127.0.0.1:7860/sdapi/v1/img2img')
+    ap.add_argument('--long_side', type=int, default=768)
+    ap.add_argument('--niter', type=int, default=1)
+    ap.add_argument('--steps', type=int, default=24)
+    ap.add_argument('--cfg_scale', type=int, default=9)
+    ap.add_argument('--sample_name', default='Euler a')
+    ap.add_argument('--denoising_strength', type=float, default=0.75)
+    ap.add_argument('--save_dir', default='repaint_output')
+    ap.add_argument('--cache_masks_dir', default='workspace/style_cache')
+    ap.add_argument('--detector_ckpt', default='')
+    ap.add_argument('--random_seed', action='store_true')
+    args = ap.parse_args()
+
+    import cv2
+    from pathlib import Path
+    from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
+    from cartoonsegmentation_tpu.pipeline.style import (StyleConfig,
+                                                        StyleEditor)
+
+    detector = AnimeInsSeg()
+    if args.detector_ckpt:
+        detector.load_torch_checkpoint(args.detector_ckpt)
+    detector.set_refine_method('refinenet_isnet')
+
+    cfg = StyleConfig(
+        url=args.url, style_prompt=args.style_prompt,
+        bg_nprompt=args.bg_nprompt, global_nprompt=args.global_nprompt,
+        long_side=args.long_side, niter=args.niter,
+        random_seed=args.random_seed,
+        denoising_strength=args.denoising_strength,
+        cache_masks_dir=args.cache_masks_dir, save_dir=args.save_dir,
+        sd_params={'steps': args.steps, 'cfg_scale': args.cfg_scale,
+                   'sampler_name': args.sample_name, 'seed': 0,
+                   'alwayson_scripts': {'controlnet': {'args': [{}]}}})
+    editor = StyleEditor(cfg, detector=detector, tagger=None)
+
+    if osp.isdir(args.img_path):
+        import os
+        paths = [osp.join(args.img_path, f)
+                 for f in sorted(os.listdir(args.img_path))
+                 if f.lower().endswith(('.jpg', '.png', '.webp'))]
+    else:
+        paths = [args.img_path]
+    for p in paths:
+        img = cv2.imread(p)
+        name = Path(p).stem
+        saved = editor.repaint(img, name)
+        print(f'{p} -> {saved}')
+
+
+if __name__ == '__main__':
+    main()

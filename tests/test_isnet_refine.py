@@ -1,0 +1,71 @@
+"""ISNet + refiner tests (small sizes, random weights) and a torch
+conversion parity check on the REBNConv unit."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from cartoonsegmentation_tpu.models.isnet import (ISNetDIS, REBNConv,
+                                                  convert_isnet)
+from cartoonsegmentation_tpu.instances import Instances
+from cartoonsegmentation_tpu.pipeline.refine import (AnimeSegRefiner,
+                                                     ISNetRefiner)
+
+
+def test_isnet_forward_shapes(rng):
+    net = ISNetDIS(in_ch=4)
+    x = jnp.asarray(rng.rand(1, 64, 64, 4).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    sides, feats = net.apply(variables, x)
+    assert len(sides) == 6
+    for d in sides:
+        assert d.shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(sides[0])).all()
+
+
+def test_isnet_conversion_roundtrip(rng):
+    """Convert a torch-schema state dict built for a dilated REBNConv
+    stack and check numerics through the flax module."""
+    tconv = torch.nn.Sequential()
+    tconv.add_module('conv_s1', torch.nn.Conv2d(3, 6, 3, padding=2,
+                                                dilation=2))
+    tconv.add_module('bn_s1', torch.nn.BatchNorm2d(6))
+    g = torch.Generator().manual_seed(0)
+    sd = tconv.state_dict()
+    for k, v in sd.items():
+        if k.endswith('num_batches_tracked'):
+            continue
+        sd[k] = torch.rand(v.shape, generator=g) * 0.5 + 0.1
+    tconv.load_state_dict(sd)
+    tconv.eval()
+
+    full = {f'stage1.rebnconv1.{k}': v for k, v in tconv.state_dict().items()}
+    conv = convert_isnet(full)
+    p = conv['params']['stage1']['rebnconv1']
+    s = conv['batch_stats']['stage1']['rebnconv1']
+
+    x = rng.rand(1, 3, 10, 12).astype(np.float32)
+    with torch.no_grad():
+        want = torch.relu(tconv(torch.from_numpy(x))).numpy()
+    got = REBNConv(6, dirate=2).apply(
+        {'params': p, 'batch_stats': s},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got),
+                               want.transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_isnet_refiner_pipeline(rng):
+    img = (rng.rand(40, 60, 3) * 255).astype(np.uint8)
+    m = np.zeros((40, 60), bool)
+    m[10:30, 20:40] = True
+    ins = Instances.from_numpy(m[None], np.array([[20, 10, 20, 20]],
+                                                 np.float32), capacity=4)
+    ref = ISNetRefiner(refine_size=64, chunk=2)
+    out = ref(ins, img)
+    assert out.masks.shape == (4, 40, 60)
+    assert int(out.count()) == 1  # invalid slots stay invalid
+
+    ref2 = AnimeSegRefiner(input_size=64)
+    out2 = ref2(ins, img)
+    assert out2.masks.shape == (4, 40, 60)

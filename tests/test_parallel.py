@@ -1,0 +1,52 @@
+"""DP training-step tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from cartoonsegmentation_tpu.models.rtmdet import AnimeDetector
+from cartoonsegmentation_tpu.parallel import (
+    create_train_state, make_mesh, make_train_step, shard_batch,
+)
+
+
+def _tiny_batch(rng, B, H, W, G=2):
+    boxes = []
+    masks = np.zeros((B, G, H, W), bool)
+    for b in range(B):
+        bs = []
+        for g in range(G):
+            x1, y1 = rng.randint(0, W // 2), rng.randint(0, H // 2)
+            x2, y2 = x1 + rng.randint(8, W // 2), y1 + rng.randint(8, H // 2)
+            bs.append([x1, y1, min(x2, W - 1), min(y2, H - 1)])
+            masks[b, g, y1:y2, x1:x2] = True
+        boxes.append(bs)
+    return {
+        'images': rng.rand(B, H, W, 3).astype(np.float32),
+        'gt_boxes': np.asarray(boxes, np.float32),
+        'gt_valid': np.ones((B, G), bool),
+        'gt_masks': masks,
+    }
+
+
+def test_dp_train_step_on_mesh(rng):
+    mesh = make_mesh(8, data=8, model=1)
+    model = AnimeDetector(deepen=0.33, widen=0.125)
+    tx = optax.adamw(1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), (64, 64), tx)
+    batch = _tiny_batch(rng, B=8, H=64, W=64)
+
+    with mesh:
+        sharded = shard_batch(mesh, batch)
+        step = make_train_step(model, tx)
+        state2, metrics = step(state, sharded)
+        loss0 = float(metrics['loss'])
+        state3, metrics2 = step(state2, sharded)
+        loss1 = float(metrics2['loss'])
+
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert int(state3.step) == 2
+    # params actually changed
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(state3.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))

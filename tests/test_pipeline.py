@@ -1,0 +1,81 @@
+"""Pipeline integration tests (small shapes, CPU, random weights)."""
+import numpy as np
+import jax.numpy as jnp
+
+from cartoonsegmentation_tpu.config import KenBurnsConfig
+from cartoonsegmentation_tpu.instances import Instances
+from cartoonsegmentation_tpu.pipeline import (
+    KenBurnsPipeline, PointCloud, adjust_disparity_by_instances,
+)
+
+
+def test_pointcloud_append_masked():
+    pc = PointCloud.with_capacity(8)
+    pts = np.arange(18, dtype=np.float32).reshape(6, 3) + 1
+    cols = pts.copy()
+    mask = np.array([1, 0, 1, 1, 0, 1], bool)
+    pc = pc.append_masked(jnp.asarray(pts), jnp.asarray(cols),
+                          jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+                          jnp.asarray(mask))
+    assert int(pc.count) == 4
+    got = np.asarray(pc.points[:4])
+    np.testing.assert_allclose(got, pts[mask])
+    # overflow is dropped, count saturates
+    pc2 = pc.append_masked(jnp.asarray(pts), jnp.asarray(cols),
+                           jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+                           jnp.ones(6, bool))
+    assert int(pc2.count) == 8
+    np.testing.assert_allclose(np.asarray(pc2.points[4:8]), pts[:4])
+
+
+def test_adjust_disparity_feet_anchor():
+    H = W = 20
+    disp = np.tile(np.linspace(1, 2, H)[:, None], (1, W)).astype(np.float32)
+    mask = np.zeros((H, W), bool)
+    mask[5:15, 5:15] = True  # bottom row 14 → value = disp[14] region max
+    ins = Instances.from_numpy(mask[None], np.array([[5, 5, 10, 10]],
+                                                    np.float32), capacity=2)
+    out = np.asarray(adjust_disparity_by_instances(jnp.asarray(disp), ins))
+    # inside the mask: flattened to the max over rows >= 5+0.97*9≈14
+    inside = out[mask]
+    assert np.allclose(inside, inside[0])
+    assert np.isclose(inside[0], disp[14, 5])
+    # outside unchanged
+    assert np.allclose(out[~mask], disp[~mask])
+
+
+def test_kenburns_end_to_end_tiny(rng):
+    """Full run (random weights) on a tiny image: state → autozoom →
+    inpaint passes → scan render. Checks shapes/dtypes/finiteness."""
+    cfg = KenBurnsConfig(max_size=64, num_frame=5, depth_field=False,
+                         point_capacity_factor=1.5, discfill_max_steps=16,
+                         auto_zoom=True)
+    pipe = KenBurnsPipeline(cfg)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+
+    state = pipe.generate_state(img)
+    assert state.image.shape == (48, 64, 3)
+    assert int(state.cloud.count) == 48 * 64
+
+    obj_from, obj_to = pipe.autozoom(state)
+    assert obj_to['crop_w'] == int(round(obj_from['crop_w'] / 1.25))
+
+    frames = pipe.process_kenburns(state, obj_from, obj_to)
+    assert frames.shape == (5, 48, 64, 3)
+    assert frames.dtype == np.uint8
+    # frame 0 (no shift beyond autozoom midpoint...) should be a real
+    # image, not all black
+    assert frames[0].mean() > 1.0
+
+
+def test_kenburns_depth_field_path(rng):
+    cfg = KenBurnsConfig(max_size=48, num_frame=2, depth_field=True,
+                         dof_num_samples=8, point_capacity_factor=1.2,
+                         discfill_max_steps=16)
+    pipe = KenBurnsPipeline(cfg)
+    img = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+    state = pipe.generate_state(img)
+    obj_from, obj_to = pipe.autozoom(state)
+    frames = pipe.process_kenburns(state, obj_from, obj_to, inpaint=False)
+    assert frames.shape == (2, 32, 48, 3)
+    assert np.isfinite(frames.astype(np.float32)).all()
