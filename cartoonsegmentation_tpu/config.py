@@ -73,7 +73,8 @@ class KenBurnsConfig:
     # --- inpainting ---
     inpaint_type: str = 'default'           # default | patchmatch | ldm
     point_capacity_factor: float = 2.0      # P_max = factor * H * W
-    discfill_max_steps: int = 128           # ray-march cap (device fill)
+    discfill_max_steps: int = 128           # ray-march cap (exact fill)
+    discfill_mode: str = 'fast'             # fast (shear-scan) | exact
 
     # --- ldm (out-of-process sd-webui adapter) ---
     sd_img2img_url: str = 'http://127.0.0.1:7860/sdapi/v1/img2img'

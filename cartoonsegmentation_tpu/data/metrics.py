@@ -1,0 +1,165 @@
+"""COCO-style detection/segmentation mAP (pure numpy) and the
+per-source split metric.
+
+Parity targets:
+- COCO AP@[.5:.95] evaluation protocol (the reference delegates to
+  pycocotools via mmdet's CocoMetric — not available here, so this is
+  a self-contained implementation of the same protocol: 101-point
+  interpolated AP, score-sorted greedy matching, per-IoU thresholds,
+  maxDets=100).
+- ``AnimeMangaMetric`` (reference animeinsseg/data/metrics.py:23-347):
+  splits predictions by image-id source (manga109 vs animeins) and
+  reports COCO bbox/segm mAP separately per source.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+
+
+def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """(D,4) x (G,4) xywh → (D,G) IoU."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    dx1, dy1 = dt[:, 0], dt[:, 1]
+    dx2, dy2 = dt[:, 0] + dt[:, 2], dt[:, 1] + dt[:, 3]
+    gx1, gy1 = gt[:, 0], gt[:, 1]
+    gx2, gy2 = gt[:, 0] + gt[:, 2], gt[:, 1] + gt[:, 3]
+    ix = np.maximum(0, np.minimum(dx2[:, None], gx2[None]) -
+                    np.maximum(dx1[:, None], gx1[None]))
+    iy = np.maximum(0, np.minimum(dy2[:, None], gy2[None]) -
+                    np.maximum(dy1[:, None], gy1[None]))
+    inter = ix * iy
+    area_d = dt[:, 2] * dt[:, 3]
+    area_g = gt[:, 2] * gt[:, 3]
+    return inter / np.maximum(area_d[:, None] + area_g[None] - inter,
+                              1e-9)
+
+
+def mask_iou(dt_masks: Sequence[np.ndarray],
+             gt_masks: Sequence[np.ndarray]) -> np.ndarray:
+    D, G = len(dt_masks), len(gt_masks)
+    out = np.zeros((D, G))
+    if D == 0 or G == 0:
+        return out
+    dt = np.stack([m.astype(bool).reshape(-1) for m in dt_masks])
+    gt = np.stack([m.astype(bool).reshape(-1) for m in gt_masks])
+    inter = dt.astype(np.float64) @ gt.T.astype(np.float64)
+    a_d = dt.sum(1)[:, None].astype(np.float64)
+    a_g = gt.sum(1)[None].astype(np.float64)
+    return inter / np.maximum(a_d + a_g - inter, 1e-9)
+
+
+def _match_image(iou: np.ndarray, dt_scores: np.ndarray,
+                 n_thr: int) -> np.ndarray:
+    """Greedy COCO matching: for each IoU threshold, detections in
+    score order claim the best unmatched gt. Returns (n_thr, D) bool
+    TP flags (dt already score-sorted by caller)."""
+    D, G = iou.shape
+    tp = np.zeros((n_thr, D), bool)
+    for t, thr in enumerate(IOU_THRS[:n_thr]):
+        taken = np.zeros(G, bool)
+        for d in range(D):
+            best, best_g = thr, -1
+            for g in range(G):
+                if taken[g]:
+                    continue
+                if iou[d, g] >= best:
+                    best, best_g = iou[d, g], g
+            if best_g >= 0:
+                taken[best_g] = True
+                tp[t, d] = True
+    return tp
+
+
+def coco_map(predictions: List[Dict], gts: List[Dict],
+             iou_type: str = 'bbox', max_dets: int = 100) -> Dict:
+    """predictions/gts: per-image dicts with keys
+    'bboxes' (N,4 xywh), 'scores' (preds), 'masks' (list of HxW bool,
+    only for iou_type='segm').
+    Returns {'mAP', 'mAP_50', 'mAP_75', 'AP_per_iou'}."""
+    n_thr = len(IOU_THRS)
+    all_scores, all_tp = [], []
+    n_gt = 0
+    for pred, gt in zip(predictions, gts):
+        order = np.argsort(-np.asarray(pred.get('scores', [])))[:max_dets]
+        scores = np.asarray(pred.get('scores', []))[order]
+        if iou_type == 'bbox':
+            dt_b = np.asarray(pred.get('bboxes', np.zeros((0, 4))))
+            gt_b = np.asarray(gt.get('bboxes', np.zeros((0, 4))))
+            iou = bbox_iou_xywh(dt_b[order] if len(dt_b) else dt_b,
+                                gt_b)
+            n_gt += len(gt_b)
+        else:
+            dt_m = [pred['masks'][i] for i in order] \
+                if pred.get('masks') is not None and len(order) else []
+            gt_m = gt.get('masks', [])
+            iou = mask_iou(dt_m, gt_m)
+            n_gt += len(gt_m)
+        all_scores.append(scores)
+        all_tp.append(_match_image(iou, scores, n_thr))
+
+    if n_gt == 0:
+        return {'mAP': float('nan'), 'mAP_50': float('nan'),
+                'mAP_75': float('nan'),
+                'AP_per_iou': [float('nan')] * n_thr}
+
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    tp = np.concatenate(all_tp, axis=1) if all_tp \
+        else np.zeros((n_thr, 0), bool)
+    order = np.argsort(-scores)
+    tp = tp[:, order]
+
+    aps = []
+    for t in range(n_thr):
+        ctp = np.cumsum(tp[t])
+        cfp = np.cumsum(~tp[t])
+        recall = ctp / n_gt
+        precision = ctp / np.maximum(ctp + cfp, 1e-9)
+        # monotone precision envelope
+        for i in range(len(precision) - 1, 0, -1):
+            precision[i - 1] = max(precision[i - 1], precision[i])
+        # 101-point interpolation
+        idx = np.searchsorted(recall, REC_THRS, side='left')
+        p = np.where(idx < len(precision), precision[np.minimum(
+            idx, max(len(precision) - 1, 0))], 0.0)
+        if len(precision) == 0:
+            p = np.zeros_like(REC_THRS)
+        aps.append(p.mean())
+    aps = np.asarray(aps)
+    return {'mAP': float(aps.mean()),
+            'mAP_50': float(aps[0]),
+            'mAP_75': float(aps[5]),
+            'AP_per_iou': aps.tolist()}
+
+
+class AnimeMangaMetric:
+    """Per-source COCO metric (reference metrics.py:23-347): results
+    for image ids in ``manga_ids`` and the rest are evaluated
+    separately, for both bbox and segm."""
+
+    def __init__(self, manga_ids: Optional[set] = None):
+        self.manga_ids = manga_ids or set()
+        self._preds: Dict[int, Dict] = {}
+        self._gts: Dict[int, Dict] = {}
+
+    def update(self, image_id: int, prediction: Dict, gt: Dict) -> None:
+        self._preds[image_id] = prediction
+        self._gts[image_id] = gt
+
+    def compute(self, iou_types=('bbox', 'segm')) -> Dict[str, Dict]:
+        out = {}
+        for source in ('animeins', 'manga109'):
+            ids = [i for i in self._preds
+                   if (i in self.manga_ids) == (source == 'manga109')]
+            if not ids:
+                continue
+            preds = [self._preds[i] for i in ids]
+            gts = [self._gts[i] for i in ids]
+            for it in iou_types:
+                out[f'{source}_{it}'] = coco_map(preds, gts, it)
+        return out

@@ -123,8 +123,12 @@ def autozoom(points: jnp.ndarray, drange: DepthRange, int_width: int,
     # V-major order — exactly the order of our flattened meshgrid, so
     # argmax (first occurrence) reproduces the tie-breaking.
     best = jnp.argmax(cov)
-    best_u = cand_u[best]
-    best_v = cand_v[best]
+    # no in-frame candidate (image smaller than the shift range):
+    # fall back to zero shift — the reference would crash on its
+    # None sentinel here (common.py:96-137).
+    any_ok = jnp.any(ok)
+    best_u = jnp.where(any_ok, cand_u[best], 0.0)
+    best_v = jnp.where(any_ok, cand_v[best], 0.0)
     crop_w_to = int(round(crop_w_from / flt_zoom))
     crop_h_to = int(round(crop_h_from / flt_zoom))
     return best_u, best_v, crop_w_to, crop_h_to

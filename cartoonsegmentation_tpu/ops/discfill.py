@@ -101,6 +101,121 @@ def _first_hit(depth, py, px, offs, H, W):
     return found, ey, ex, ed
 
 
+# ---------------------------------------------------------------------------
+# fast path: shear + column scans (no big gathers)
+# ---------------------------------------------------------------------------
+
+def _shear_tables(H: int, W: int, dx: float, dy: float):
+    """Static shear tables for a direction with |dy| >= |dx|:
+    off[y] = round(y * dx/dy); sheared column x' = x - off[y] + base."""
+    slope = dx / dy
+    off = _c_round(np.arange(H, dtype=np.float64) * slope).astype(np.int32)
+    base = int(-off.min())
+    Wp = W + int(off.max()) + base
+    return off, base, Wp
+
+
+def _fill_one_direction(depth, dx, dy):
+    """Best (found, dist, fy, fx) for one direction via shear + scans.
+
+    depth: (H, W). Returns per-pixel arrays in image space.
+    The digital line here is the Bresenham form x(y) = round(y·dx/dy)
+    — one cell per row — instead of the reference's accumulate-and-
+    round walk (which can visit two cells of a row); endpoints differ
+    by at most one pixel, invisible in the fill.
+    """
+    H, W = depth.shape
+    off, base, Wp = _shear_tables(H, W, dx, dy)
+    off_j = jnp.asarray(off)
+
+    ys = jnp.arange(H)[:, None]
+    xps = jnp.arange(Wp)[None, :]
+    xs = xps - base + off_j[:, None]              # actual x at (y, x')
+    inframe = (xs >= 0) & (xs < W)
+    d_s = jnp.where(inframe,
+                    depth[ys, jnp.clip(xs, 0, W - 1)], 0.0)
+    valid = inframe & (d_s > 0.0)
+    oob = ~inframe
+
+    yrow = jnp.broadcast_to(jnp.arange(H)[:, None], (H, Wp))
+    NEG, POS = -1, H
+
+    # exclusive scans: nearest event strictly above / below each row
+    lastv = jax.lax.cummax(jnp.where(valid, yrow, NEG), axis=0)
+    lasto = jax.lax.cummax(jnp.where(oob, yrow, NEG), axis=0)
+    lastv_ex = jnp.concatenate(
+        [jnp.full((1, Wp), NEG), lastv[:-1]], axis=0)
+    lasto_ex = jnp.concatenate(
+        [jnp.full((1, Wp), NEG), lasto[:-1]], axis=0)
+    firstv = jax.lax.cummin(jnp.where(valid, yrow, POS), axis=0,
+                            reverse=True)
+    firsto = jax.lax.cummin(jnp.where(oob, yrow, POS), axis=0,
+                            reverse=True)
+    firstv_ex = jnp.concatenate(
+        [firstv[1:], jnp.full((1, Wp), POS)], axis=0)
+    firsto_ex = jnp.concatenate(
+        [firsto[1:], jnp.full((1, Wp), POS)], axis=0)
+
+    up = (lastv_ex > lasto_ex, jnp.clip(lastv_ex, 0, H - 1))
+    down = (firstv_ex < firsto_ex, jnp.clip(firstv_ex, 0, H - 1))
+    (f_from, r_from), (f_to, r_to) = (up, down) if dy > 0 else (down, up)
+
+    def endpoint(rows):
+        ex = off_j[rows] + (xps - base)
+        ed = jnp.take_along_axis(d_s, rows, axis=0)
+        return ex, rows, ed
+
+    ex_f, ey_f, ed_f = endpoint(r_from)
+    ex_t, ey_t, ed_t = endpoint(r_to)
+    found = f_from & f_to
+    dist = jnp.sqrt(((ex_t - ex_f).astype(depth.dtype)) ** 2 +
+                    ((ey_t - ey_f).astype(depth.dtype)) ** 2)
+    use_to = ed_f < ed_t
+    fy = jnp.where(use_to, ey_t, ey_f)
+    fx = jnp.where(use_to, ex_t, ex_f)
+
+    # unshear: image-space value at (y, x) lives at column x-off[y]+base
+    col = jnp.arange(W)[None, :] - off_j[:, None] + base   # (H, W)
+    take = lambda a: jnp.take_along_axis(a, col, axis=1)
+    return take(found), take(dist), take(fy), take(fx)
+
+
+@jax.jit
+def fill_disocclusion_fast(img: jnp.ndarray, depth: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Shear-scan disocclusion fill — same policy as the exact version
+    (shortest valid-to-valid gap over 16 directions, farther-depth
+    endpoint wins) at a fraction of the cost: per direction it's two
+    static-index shears, four column scans and two row gathers instead
+    of a K-step ray march. Unbounded search radius (full frame)."""
+    H, W = depth.shape
+    best_d = jnp.full((H, W), BIG, depth.dtype)
+    py, px = jnp.mgrid[0:H, 0:W]
+    by, bx = py.astype(jnp.int32), px.astype(jnp.int32)
+    bfound = jnp.zeros((H, W), jnp.bool_)
+
+    for dx, dy in zip(_DIR_X, _DIR_Y):
+        if abs(dy) >= abs(dx):
+            found, dist, fy, fx = _fill_one_direction(
+                depth, float(dx), float(dy))
+        else:  # transpose so the line parameter is the row index
+            found, dist, fx, fy = _fill_one_direction(
+                depth.T, float(dy), float(dx))
+            found, dist = found.T, dist.T
+            fy, fx = fy.T, fx.T
+        better = found & (best_d > dist)
+        best_d = jnp.where(better, dist, best_d)
+        by = jnp.where(better, fy, by)
+        bx = jnp.where(better, fx, bx)
+        bfound = bfound | better
+
+    hole = depth <= 0.0
+    take = hole & bfound
+    src_y = jnp.where(take, by, py)
+    src_x = jnp.where(take, bx, px)
+    return img[src_y, src_x]
+
+
 @functools.partial(jax.jit, static_argnames=('max_steps',))
 def fill_disocclusion(img: jnp.ndarray, depth: jnp.ndarray,
                       max_steps: int = 128) -> jnp.ndarray:

@@ -31,7 +31,7 @@ from ..models.kenburns import DisparityEstimator, Inpaint, Refine
 from ..ops.bokeh import bokeh_blur
 from ..ops.camera import (DepthRange, autozoom, compute_shift, depth_range,
                           shift_points)
-from ..ops.discfill import fill_disocclusion
+from ..ops.discfill import fill_disocclusion, fill_disocclusion_fast
 from ..ops.filters import valid_depth_mask
 from ..ops.pointcloud import depth_to_points, render_pointcloud
 from ..utils import LOGGER, crop_center_resize, scaledown_maxsize
@@ -45,12 +45,15 @@ class KenBurnsPipeline:
                  seed: int = 0):
         self.cfg = build_kenburns_cfg(cfg)
         self._seed = seed
+        from ..models.leres import LeReS
         self._disparity_net = DisparityEstimator()
         self._inpaint_net = Inpaint()
         self._refine_net = Refine()
+        self._leres_net = LeReS()
         self._disparity_vars = None
         self._inpaint_vars = None
         self._refine_vars = None
+        self._leres_vars = None
         self._detector = None
         self._jit_cache: Dict = {}
 
@@ -68,6 +71,8 @@ class KenBurnsPipeline:
             elif which == 'refine':
                 v = net.init(key, jnp.zeros((1, 64, 64, 3)),
                              jnp.zeros((1, 16, 16, 1)))
+            elif which == 'leres':
+                v = net.init(key, jnp.zeros((1, 64, 64, 3)))
             else:
                 v = net.init(key, jnp.zeros((32, 32, 3)),
                              jnp.ones((32, 32, 1)), jnp.zeros((3,)),
@@ -98,6 +103,15 @@ class KenBurnsPipeline:
         if inpaint:
             self._inpaint_vars = {
                 'params': C.convert_inpaint(C.load_torch_ckpt(inpaint))}
+
+    def load_leres_checkpoint(self, path: str) -> None:
+        """res101.pth (ckpt['depth_model'], 'module.'-prefixed)."""
+        from ..models.convert import load_torch_ckpt
+        from ..models.leres import convert_leres
+        import torch
+        ckpt = torch.load(path, map_location='cpu', weights_only=False)
+        sd = ckpt.get('depth_model', ckpt)
+        self._leres_vars = convert_leres(sd)
 
     def set_detector(self, detector) -> None:
         """Install an AnimeInsSeg (or any callable img→Instances)."""
@@ -134,13 +148,18 @@ class KenBurnsPipeline:
 
     def _estimate_disparity(self, image: jnp.ndarray) -> jnp.ndarray:
         """Run the configured depth estimator → (H, W, 1) disparity at
-        image resolution. Round-1: the 'default' 3D-Ken-Burns
-        disparity net; 'leres'/'zoe' fall back with a warning until
-        their Flax ports land."""
+        image resolution. 'leres' (the shipped default) and 'default'
+        (3D-Ken-Burns disparity net) are native; 'zoe'/'marigold' fall
+        back to leres with a warning until their Flax ports land."""
         cfg = self.cfg
-        if cfg.depth_est not in ('default',):
+        if cfg.depth_est == 'default':
+            return self._est_default(image)
+        if cfg.depth_est not in ('leres',):
             LOGGER.warning(f'depth_est={cfg.depth_est} not yet ported; '
-                           'using default disparity net')
+                           'using leres')
+        return self._est_leres(image)
+
+    def _est_default(self, image: jnp.ndarray) -> jnp.ndarray:
         H, W = image.shape[:2]
         key = ('disp', H, W)
         if key not in self._jit_cache:
@@ -152,6 +171,34 @@ class KenBurnsPipeline:
                 return jax.image.resize(d, (H, W, 1), method='linear')
             self._jit_cache[key] = fn
         return self._jit_cache[key](self._vars('disparity'), image)
+
+    def _est_leres(self, image: jnp.ndarray) -> jnp.ndarray:
+        """LeReS at depth_est_size (/32-padded), apply_leres post
+        (normalize/invert), resized back to image resolution.
+        Parity: kenburns_effect.py:563-581 (_depth_est_leres)."""
+        from ..models.leres import leres_postprocess
+        from ..utils import scaledown_size
+        cfg = self.cfg
+        H, W = image.shape[:2]
+        dh, dw = scaledown_size(H, W, cfg.depth_est_size, divisor=32)
+        key = ('leres', H, W, dh, dw)
+        if key not in self._jit_cache:
+            net = self._leres_net
+
+            @jax.jit
+            def fn(variables, img):
+                small = jax.image.resize(img, (dh, dw, 3),
+                                         method='linear')
+                rgb = small[..., ::-1]  # pipeline images are BGR
+                d = net.apply(variables, rgb[None])[0]
+                disp = leres_postprocess(d[..., 0])
+                disp = jax.image.resize(disp, (H, W), method='linear')
+                # zeros → min positive (kenburns_effect.py:577)
+                pos_min = jnp.min(jnp.where(disp > 0, disp, jnp.inf))
+                disp = jnp.where(disp == 0, pos_min, disp)
+                return disp[..., None]
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](self._vars('leres'), image)
 
     def _prepare_state(self, image, disparity_raw, instances
                        ) -> KenBurnsState:
@@ -269,7 +316,8 @@ class KenBurnsPipeline:
     # -- stage 4: frame rendering ----------------------------------------
     def render_frames(self, state: KenBurnsState, obj_from: Dict,
                       obj_to: Dict, steps: np.ndarray,
-                      depth_field: Optional[bool] = None) -> np.ndarray:
+                      depth_field: Optional[bool] = None,
+                      return_device: bool = False) -> np.ndarray:
         """Render all frames in one scan; returns (T, H, W, 3) uint8
         (BGR). Parity: kenburns_effect.py:1015-1072."""
         cfg = self.cfg
@@ -287,12 +335,18 @@ class KenBurnsPipeline:
             for t in steps])  # (T, 3): shift_u, shift_v, depth_scale
 
         key = ('frames', H, W, state.cloud.capacity, T, max_cw, max_ch,
-               bool(depth_field), cfg.discfill_max_steps)
+               bool(depth_field), cfg.discfill_max_steps,
+               cfg.discfill_mode)
         if key not in self._jit_cache:
             focal, baseline = cfg.focal, cfg.baseline
             dcfg = (cfg.dof_num_samples, cfg.lightness_factor,
                     cfg.depth_factor, cfg.dof_speed)
             max_steps = cfg.discfill_max_steps
+            if cfg.discfill_mode == 'fast':
+                fill = lambda im, d: fill_disocclusion_fast(im, d)
+            else:
+                fill = lambda im, d: fill_disocclusion(
+                    im, d, max_steps=max_steps)
 
             def render_one(state, cam, focal_planes):
                 shift_u, shift_v, depth_scale, t = (cam[0], cam[1],
@@ -306,9 +360,8 @@ class KenBurnsPipeline:
                     [state.cloud.colors, state.cloud.depth[:, None]], 1)
                 render, existing = render_pointcloud(
                     pts, data, H, W, focal, baseline)
-                filled = fill_disocclusion(
-                    render, render[..., 3] * (existing[..., 0] > 0),
-                    max_steps=max_steps)
+                filled = fill(
+                    render, render[..., 3] * (existing[..., 0] > 0))
                 frame = filled[..., :3]
                 if depth_field:
                     ns, lf, dfac, dof_speed = dcfg
@@ -340,9 +393,8 @@ class KenBurnsPipeline:
                         1)
                     render, existing = render_pointcloud(
                         pts, data, H, W, focal, baseline)
-                    filled = fill_disocclusion(
-                        render, render[..., 3] * (existing[..., 0] > 0),
-                        max_steps=max_steps)
+                    filled = fill(
+                        render, render[..., 3] * (existing[..., 0] > 0))
                     depth_r = colorize_gray_r(filled[..., 3])
                     has_ins = state.instances.count() > 0
                     # median depth per instance; take the max
@@ -374,6 +426,8 @@ class KenBurnsPipeline:
         cams_t = np.concatenate(
             [cams, np.asarray(steps, np.float32)[:, None]], 1)
         frames = self._jit_cache[key](state, jnp.asarray(cams_t))
+        if return_device:
+            return frames
         return np.asarray(jax.device_get(frames))
 
     # -- orchestration -----------------------------------------------------

@@ -1,0 +1,168 @@
+"""Interactive Ken Burns server (stdlib HTTP, no flask dependency).
+
+Parity: reference naive_interface.py:63-215 —
+- POST /load_image        multipart/raw image → precompute device state
+- GET  /get_live?fltTime= render ONE frame from the cached point
+                          cloud (no inpaint), per-time frame cache
+- POST /update_from,/update_to  move the camera boxes, drop the cache
+- GET  /get_result        full inpainted render → mp4 bytes
+
+Key property preserved: state generation (seg + depth + points)
+happens once per image; live preview renders single frames from the
+cached device state (naive_interface.py:132-173).
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..utils import LOGGER
+
+
+class KenBurnsService:
+    """Pipeline wrapper holding per-image cached state."""
+
+    def __init__(self, pipeline):
+        self.pipe = pipeline
+        self.state = None
+        self.obj_from: Optional[Dict] = None
+        self.obj_to: Optional[Dict] = None
+        self.frame_cache: Dict[float, bytes] = {}
+        self.lock = threading.Lock()
+
+    def load_image(self, img_bytes: bytes) -> Dict:
+        import cv2
+        arr = np.frombuffer(img_bytes, np.uint8)
+        img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError('could not decode image')
+        with self.lock:
+            self.state = self.pipe.generate_state(img)
+            self.obj_from, self.obj_to = self.pipe.autozoom(self.state)
+            self.frame_cache.clear()
+            H, W = self.state.hw
+        return {'height': int(H), 'width': int(W),
+                'objFrom': self.obj_from, 'objTo': self.obj_to}
+
+    def update_box(self, which: str, box: Dict) -> None:
+        with self.lock:
+            tgt = dict(self.obj_from if which == 'from' else self.obj_to)
+            for k in ('center_u', 'center_v', 'crop_w', 'crop_h'):
+                if k in box:
+                    tgt[k] = box[k]
+            if which == 'from':
+                self.obj_from = tgt
+            else:
+                self.obj_to = tgt
+            self.frame_cache.clear()
+
+    def live_frame(self, t: float) -> bytes:
+        """One JPEG frame at interpolation time t (no inpaint)."""
+        import cv2
+        with self.lock:
+            if self.state is None:
+                raise ValueError('no image loaded')
+            key = round(float(t), 4)
+            if key in self.frame_cache:
+                return self.frame_cache[key]
+            frames = self.pipe.render_frames(
+                self.state, self.obj_from, self.obj_to,
+                np.asarray([key], np.float32), depth_field=False)
+            ok, enc = cv2.imencode('.jpg', frames[0])
+            data = enc.tobytes()
+            self.frame_cache[key] = data
+            return data
+
+    def result_video(self) -> bytes:
+        """Full render with inpainting → mp4 bytes."""
+        import tempfile
+        import os
+        from ..pipeline import write_video
+        with self.lock:
+            frames = self.pipe.process_kenburns(
+                self.state, self.obj_from, self.obj_to)
+        with tempfile.NamedTemporaryFile(suffix='.mp4',
+                                         delete=False) as f:
+            path = f.name
+        try:
+            write_video(frames, path,
+                        playback=self.pipe.cfg.playback)
+            with open(path, 'rb') as f:
+                return f.read()
+        finally:
+            os.unlink(path)
+
+
+def make_handler(service: KenBurnsService):
+
+    class Handler(BaseHTTPRequestHandler):
+
+        def _send(self, code: int, body: bytes,
+                  ctype: str = 'application/json'):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode())
+
+        def do_POST(self):
+            n = int(self.headers.get('Content-Length', 0))
+            body = self.rfile.read(n)
+            path = urlparse(self.path).path
+            try:
+                if path == '/load_image':
+                    self._json(service.load_image(body))
+                elif path in ('/update_from', '/update_to'):
+                    service.update_box(path.rsplit('_', 1)[1],
+                                       json.loads(body or b'{}'))
+                    self._json({'ok': True})
+                else:
+                    self._json({'error': 'not found'}, 404)
+            except Exception as e:  # noqa: BLE001 — service seam
+                LOGGER.warning(f'request failed: {e}')
+                self._json({'error': str(e)}, 500)
+
+        def do_GET(self):
+            parsed = urlparse(self.path)
+            q = parse_qs(parsed.query)
+            try:
+                if parsed.path == '/get_live':
+                    t = float(q.get('fltTime', ['0'])[0])
+                    self._send(200, service.live_frame(t), 'image/jpeg')
+                elif parsed.path == '/get_result':
+                    self._send(200, service.result_video(), 'video/mp4')
+                elif parsed.path == '/health':
+                    self._json({'ok': True,
+                                'loaded': service.state is not None})
+                else:
+                    self._json({'error': 'not found'}, 404)
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f'request failed: {e}')
+                self._json({'error': str(e)}, 500)
+
+        def log_message(self, *a):
+            pass
+
+    return Handler
+
+
+def serve(pipeline, host: str = '0.0.0.0', port: int = 8080,
+          block: bool = True) -> ThreadingHTTPServer:
+    service = KenBurnsService(pipeline)
+    srv = ThreadingHTTPServer((host, port), make_handler(service))
+    srv.service = service
+    LOGGER.info(f'kenburns server on {host}:{port}')
+    if block:
+        srv.serve_forever()
+    else:
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

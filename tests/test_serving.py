@@ -1,0 +1,52 @@
+"""Interactive server test: real HTTP round-trips against the
+pipeline (tiny image, random weights)."""
+import json
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip('cv2')
+requests = pytest.importorskip('requests')
+
+from cartoonsegmentation_tpu.config import KenBurnsConfig
+from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
+from cartoonsegmentation_tpu.serving.interface import serve
+
+
+def test_server_roundtrip(rng):
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         point_capacity_factor=1.2, depth_est='default',
+                         playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    srv = serve(pipe, '127.0.0.1', 0, block=False)
+    port = srv.server_address[1]
+    base = f'http://127.0.0.1:{port}'
+    try:
+        r = requests.get(f'{base}/health')
+        assert r.json() == {'ok': True, 'loaded': False}
+
+        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        r = requests.post(f'{base}/load_image', data=enc.tobytes())
+        meta = r.json()
+        assert meta['height'] == 40 and meta['width'] == 48
+        assert 'objFrom' in meta and 'objTo' in meta
+
+        r = requests.get(f'{base}/get_live?fltTime=0.5')
+        assert r.status_code == 200
+        frame = cv2.imdecode(np.frombuffer(r.content, np.uint8),
+                             cv2.IMREAD_COLOR)
+        assert frame.shape == (40, 48, 3)
+
+        # move camera → cache invalidated, still renders
+        r = requests.post(f'{base}/update_to', data=json.dumps(
+            {'center_u': 30.0, 'center_v': 20.0}))
+        assert r.json() == {'ok': True}
+        r = requests.get(f'{base}/get_live?fltTime=0.5')
+        assert r.status_code == 200
+
+        # error path: live frame before load on a fresh service
+        r = requests.get(f'{base}/nope')
+        assert r.status_code == 404
+    finally:
+        srv.shutdown()
