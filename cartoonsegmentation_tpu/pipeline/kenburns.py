@@ -31,7 +31,8 @@ from ..models.kenburns import DisparityEstimator, Inpaint, Refine
 from ..ops.bokeh import bokeh_blur
 from ..ops.camera import (DepthRange, autozoom, compute_shift, depth_range,
                           shift_points)
-from ..ops.discfill import fill_disocclusion, fill_disocclusion_fast
+from ..ops.discfill import fill_disocclusion
+from ..ops.discfill2 import fill_disocclusion_fast2
 from ..ops.filters import valid_depth_mask
 from ..ops.pointcloud import depth_to_points, render_pointcloud
 from ..utils import LOGGER, crop_center_resize, scaledown_maxsize
@@ -143,8 +144,52 @@ class KenBurnsPipeline:
         image = jnp.asarray(img.astype(np.float32) / 255.0)
 
         disparity_raw = self._estimate_disparity(image)
+        disparity_raw = self._adjust_disparity(image, disparity_raw,
+                                               instances)
+        # final refinement (kenburns_effect.py:618-622): Refine net or
+        # the CPU/TPU-hybrid CRF path, both optional
+        if cfg.default_depth_refine:
+            disparity_raw = self._refine_disparity(image, disparity_raw)
+        elif cfg.refine_crf:
+            from .crf_refine import refine_depth_crf
+            ins_mask = np.asarray(
+                jax.device_get(instances.compose_masks()))
+            refined = refine_depth_crf(
+                img, np.asarray(jax.device_get(disparity_raw[..., 0])),
+                ins_mask if ins_mask.any() else None)
+            disparity_raw = jnp.asarray(refined)[..., None]
         state = self._prepare_state(image, disparity_raw, instances)
         return state
+
+    def _adjust_disparity(self, image, disparity, instances):
+        H, W = image.shape[:2]
+        key = ('adjust', H, W, self.cfg.depthest_use_medium)
+        if key not in self._jit_cache:
+            use_med = self.cfg.depthest_use_medium
+
+            @jax.jit
+            def fn(disparity, instances):
+                return adjust_disparity_by_instances(
+                    disparity[..., 0], instances, use_med)[..., None]
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](disparity, instances)
+
+    def _refine_disparity(self, image, disparity):
+        """Refine net at image res with half-res disparity input
+        (models/__init__.py:13-14 usage)."""
+        H, W = image.shape[:2]
+        key = ('refine', H, W)
+        if key not in self._jit_cache:
+            net = self._refine_net
+
+            @jax.jit
+            def fn(variables, img, disp):
+                half = jax.image.resize(
+                    disp, (H // 2, W // 2, 1), method='linear')
+                return net.apply(variables, img[None], half[None])[0]
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](self._vars('refine'), image,
+                                    disparity)
 
     def _estimate_disparity(self, image: jnp.ndarray) -> jnp.ndarray:
         """Run the configured depth estimator → (H, W, 1) disparity at
@@ -205,15 +250,12 @@ class KenBurnsPipeline:
         cfg = self.cfg
         H, W = image.shape[:2]
         P = int(cfg.point_capacity_factor * H * W)
-        key = ('prep', H, W, P, cfg.depthest_use_medium)
+        key = ('prep', H, W, P)
         if key not in self._jit_cache:
             focal, baseline = cfg.focal, cfg.baseline
-            use_med = cfg.depthest_use_medium
 
             @jax.jit
             def fn(image, disparity, instances):
-                disparity = adjust_disparity_by_instances(
-                    disparity[..., 0], instances, use_med)[..., None]
                 disparity = disparity / (jnp.max(disparity) + 1e-12) \
                     * baseline
                 depth = (focal * baseline) / (disparity + 1e-5)
@@ -343,7 +385,7 @@ class KenBurnsPipeline:
                     cfg.depth_factor, cfg.dof_speed)
             max_steps = cfg.discfill_max_steps
             if cfg.discfill_mode == 'fast':
-                fill = lambda im, d: fill_disocclusion_fast(im, d)
+                fill = lambda im, d: fill_disocclusion_fast2(im, d)
             else:
                 fill = lambda im, d: fill_disocclusion(
                     im, d, max_steps=max_steps)

@@ -141,6 +141,91 @@ class AnimeInsSeg:
                                    self.mask_thr)
 
     # ------------------------------------------------------------------
+    def infer_embeddings(self, img: Union[str, np.ndarray],
+                         pre_topk: int = 512):
+        """Raw candidate embeddings before NMS: boxes/scores/kernels/
+        priors plus the mask prototype features — the hook external
+        box prompts (e.g. SAM-style UIs) use to decode masks.
+        Parity: animeinsseg/__init__.py:262-337 (infer_embeddings
+        hijack path)."""
+        import cv2
+        if isinstance(img, str):
+            img = cv2.imread(img)
+        x, scale, (nh, nw) = self._preprocess(img)
+        variables = self._ensure_variables()
+
+        if getattr(self, '_embed_fn', None) is None:
+            from ..models.rtmdet import (NUM_GEN_PARAMS, STRIDES,
+                                         distance2bbox, level_priors)
+
+            @jax.jit
+            def fn(variables, x):
+                cls_out, reg_out, krn_out, mask_feat = self.model.apply(
+                    variables, x)
+                scores, dists, kernels, priors, strides = \
+                    [], [], [], [], []
+                for lv, (c, r, k) in enumerate(
+                        zip(cls_out, reg_out, krn_out)):
+                    h, w = c.shape[-3], c.shape[-2]
+                    scores.append(jax.nn.sigmoid(
+                        c.reshape(-1, c.shape[-1]).max(-1)))
+                    dists.append(r.reshape(-1, 4))
+                    kernels.append(k.reshape(-1, NUM_GEN_PARAMS))
+                    pr = level_priors(h, w, STRIDES[lv])
+                    priors.append(pr)
+                    strides.append(jnp.full((pr.shape[0],),
+                                            float(STRIDES[lv])))
+                scores = jnp.concatenate(scores)
+                k = min(pre_topk, scores.shape[0])
+                top_scores, top = jax.lax.top_k(scores, k)
+                dists = jnp.concatenate(dists)[top]
+                priors_t = jnp.concatenate(priors)[top]
+                return {
+                    'scores': top_scores,
+                    'bboxes': distance2bbox(priors_t, dists),
+                    'kernels': jnp.concatenate(kernels)[top],
+                    'priors': priors_t,
+                    'strides': jnp.concatenate(strides)[top],
+                    'mask_feat': mask_feat[0],
+                }
+            self._embed_fn = fn
+        emb = self._embed_fn(variables, jnp.asarray(x))
+        return emb, img, scale, (nh, nw)
+
+    def segment_with_bboxes(self, img: Union[str, np.ndarray],
+                            bboxes_xyxy: np.ndarray) -> Instances:
+        """Decode instance masks for externally provided boxes by IoU-
+        matching them to the strongest candidates and running their
+        dynamic mask heads. Parity: animeinsseg/__init__.py:339-393."""
+        from ..models.rtmdet import box_iou, dynamic_mask_heads
+        emb, img, scale, (nh, nw) = self.infer_embeddings(img)
+        h, w = img.shape[:2]
+
+        boxes = jnp.asarray(np.asarray(bboxes_xyxy, np.float32)) * scale
+        iou = box_iou(boxes, emb['bboxes'])             # (Q, K)
+        match = jnp.argmax(iou, axis=1)
+        logits = dynamic_mask_heads(
+            emb['mask_feat'], emb['kernels'][match],
+            emb['priors'][match], emb['strides'][match])
+        probs = jax.nn.sigmoid(logits)
+        probs = jax.image.resize(
+            probs, (probs.shape[0], self.det_size, self.det_size),
+            method='linear')[:, :nh, :nw]
+        masks = jax.image.resize(
+            probs, (probs.shape[0], h, w), method='linear') > 0.5
+        matched_boxes = emb['bboxes'][match] / scale
+        xywh = jnp.concatenate(
+            [matched_boxes[:, :2],
+             matched_boxes[:, 2:] - matched_boxes[:, :2]], 1)
+        ins = Instances(
+            masks=masks, bboxes=jnp.round(xywh),
+            scores=emb['scores'][match],
+            valid=jnp.ones((masks.shape[0],), jnp.bool_))
+        if self.refine is not None:
+            ins = self.refine(ins, img)
+        return ins
+
+    # ------------------------------------------------------------------
     def load_torch_checkpoint(self, path: str) -> None:
         """Convert + install the published rtmdetl ckpt (name mapping
         in models/convert.py; exercised once real weights are on

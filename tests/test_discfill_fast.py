@@ -59,3 +59,19 @@ def test_fast_fill_edge_holes_stay(rng):
     want = np.asarray(fill_disocclusion(jnp.asarray(img),
                                         jnp.asarray(depth), max_steps=64))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fast2_matches_fast_exactly(rng):
+    from cartoonsegmentation_tpu.ops.discfill2 import (
+        fill_disocclusion_fast2)
+    H, W = 37, 53  # odd sizes exercise the residue/stride machinery
+    img = rng.rand(H, W, 4).astype(np.float32)
+    depth = (rng.rand(H, W).astype(np.float32) + 0.5)
+    depth[12:30, 14:34] = 0.0
+    depth[:, :2] = 0.0
+    img[depth == 0] = 0.0
+    a = np.asarray(fill_disocclusion_fast(jnp.asarray(img),
+                                          jnp.asarray(depth)))
+    b = np.asarray(fill_disocclusion_fast2(jnp.asarray(img),
+                                           jnp.asarray(depth)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
