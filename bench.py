@@ -44,6 +44,7 @@ def main() -> None:
         state = pipe.inpaint_pass(state, su, sv, ds)
     jax.block_until_ready(state.cloud.points)
     inpaint_s = time.time() - t0
+    state = pipe.compact_state(state)
 
     steps = np.linspace(0.0, 1.0, cfg.num_frame)
     # warmup (compile)

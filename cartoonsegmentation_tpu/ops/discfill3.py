@@ -1,0 +1,126 @@
+"""Disocclusion fill v3 — packed-key scans, 3 gathers total.
+
+Refinement of discfill2 exploiting two facts:
+1. the winning direction depends only on the endpoint *distance*, so
+   per-pixel endpoint depths are needed only for the single winning
+   direction — after the 16-direction reduction, not inside it;
+2. the shear offset round(y·p/q) is integer-computable elementwise
+   (floor((2|p|y + q) / 2q), sign-adjusted), so endpoint x needs no
+   table lookup.
+
+Per direction: one gather-free shear of the validity field (stride-
+reshape slices), two int32 `cummax` scans over packed (y, valid)
+keys, elementwise decode, gather-free unshear. Globally: two (H, W)
+depth gathers to pick the farther endpoint of the winning direction
+and the final fill copy. Bit-identical to discfill2/discfill-fast.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .discfill import _DIR_X, _DIR_Y
+from .discfill2 import _offsets_np, _row_shift
+
+BIG = 1000000.0
+
+
+def _off_arith(y: jnp.ndarray, p: int, q: int) -> jnp.ndarray:
+    """round(y * p / q) with C half-away-from-zero rounding, y >= 0."""
+    if p >= 0:
+        return (2 * p * y + q) // (2 * q)
+    return -((2 * (-p) * y + q) // (2 * q))
+
+
+def _direction_pass_v3(valid_f: jnp.ndarray, p: int, q: int, H: int,
+                       W: int):
+    """valid_f: (H, W) float {1 valid, 0 hole}. Returns unsheared
+    (found, dist2, y_f, x_f, y_t, x_t) — endpoints of the from/to
+    walks (from = decreasing row)."""
+    off, omin, omax = _offsets_np(H, p, q)
+    base = -omin
+    Wp = W + omax + base
+
+    v_s = _row_shift(valid_f, p, q, -base, Wp, fill=-1.0)
+    inframe = v_s >= 0.0
+    valid = v_s > 0.5
+    event = valid | ~inframe
+
+    yrow = jnp.broadcast_to(
+        jnp.arange(H, dtype=jnp.int32)[:, None], (H, Wp))
+    key_up = jnp.where(event,
+                       ((yrow + 1) << 1) | valid.astype(jnp.int32), 0)
+    key_dn = jnp.where(event,
+                       ((H - yrow) << 1) | valid.astype(jnp.int32), 0)
+
+    up = jax.lax.cummax(key_up, axis=0)
+    up = jnp.concatenate([jnp.zeros((1, Wp), jnp.int32), up[:-1]], 0)
+    dn = jax.lax.cummax(key_dn, axis=0, reverse=True)
+    dn = jnp.concatenate([dn[1:], jnp.zeros((1, Wp), jnp.int32)], 0)
+
+    f_found = (up > 0) & ((up & 1) == 1)
+    t_found = (dn > 0) & ((dn & 1) == 1)
+    y_f = (up >> 1) - 1
+    y_t = H - (dn >> 1)
+    y_f = jnp.clip(y_f, 0, H - 1)
+    y_t = jnp.clip(y_t, 0, H - 1)
+
+    xp = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    x_f = xp - base + _off_arith(y_f, p, q)
+    x_t = xp - base + _off_arith(y_t, p, q)
+
+    found = f_found & t_found
+    dist2 = ((x_t - x_f) ** 2 + (y_t - y_f) ** 2).astype(jnp.float32)
+
+    def un(arr, fill):
+        return _row_shift(arr.astype(jnp.float32), -p, q, base, W, fill)
+
+    return (un(found, 0.0) > 0.5,
+            un(dist2, BIG),
+            un(y_f, 0.0).astype(jnp.int32),
+            un(x_f, 0.0).astype(jnp.int32),
+            un(y_t, 0.0).astype(jnp.int32),
+            un(x_t, 0.0).astype(jnp.int32))
+
+
+@jax.jit
+def fill_disocclusion_fast3(img: jnp.ndarray, depth: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """Fastest disocclusion fill. img (H, W, C), depth (H, W)."""
+    H, W = depth.shape
+    valid_f = (depth > 0.0).astype(jnp.float32)
+    valid_fT = valid_f.T
+
+    best_d = jnp.full((H, W), BIG, jnp.float32)
+    zeros = jnp.zeros((H, W), jnp.int32)
+    by_f = bx_f = by_t = bx_t = zeros
+    for dx, dy in zip(_DIR_X.astype(int), _DIR_Y.astype(int)):
+        dx, dy = int(dx), int(dy)
+        if abs(dy) >= abs(dx):
+            found, d2, yf, xf, yt, xt = _direction_pass_v3(
+                valid_f, dx, dy, H, W)
+        else:
+            found, d2, xf, yf, xt, yt = _direction_pass_v3(
+                valid_fT, dy, dx, W, H)
+            found, d2 = found.T, d2.T
+            yf, xf, yt, xt = yf.T, xf.T, yt.T, xt.T
+        better = found & (best_d > d2)
+        best_d = jnp.where(better, d2, best_d)
+        by_f = jnp.where(better, yf, by_f)
+        bx_f = jnp.where(better, xf, bx_f)
+        by_t = jnp.where(better, yt, by_t)
+        bx_t = jnp.where(better, xt, bx_t)
+
+    # endpoint depths only for the winning direction: 2 gathers
+    d_f = depth[by_f, bx_f]
+    d_t = depth[by_t, bx_t]
+    use_to = d_f < d_t
+    py, px = jnp.mgrid[0:H, 0:W]
+    hole = depth <= 0.0
+    take = hole & (best_d < BIG)
+    src_y = jnp.where(take, jnp.where(use_to, by_t, by_f),
+                      py.astype(jnp.int32))
+    src_x = jnp.where(take, jnp.where(use_to, bx_t, bx_f),
+                      px.astype(jnp.int32))
+    return img[src_y, src_x]

@@ -1,0 +1,150 @@
+"""Depth-estimation + mask-refinement training (data-parallel).
+
+Parity targets:
+- ZoeDepth trainer losses (reference depth_modules/zoedepth/trainers/
+  loss.py + zoedepth_trainer.py:39-148): scale-invariant log (SILog)
+  loss with variance focus 0.85, optional multi-scale gradient-L1
+  loss; DDP rank-averaging is replaced by batch sharding over the
+  'data' mesh axis (base_trainer.py:34,149,230 → XLA collectives).
+- Mask-refine training (animeseg_refine/__init__.py:86-148 +
+  isnet.py:44-76): multi-side BCE fusion with loss0_weight=5, F1/MAE
+  validation metrics.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def silog_loss(pred: jnp.ndarray, target: jnp.ndarray,
+               mask: jnp.ndarray, beta: float = 0.15,
+               variance_focus: float = 0.85) -> jnp.ndarray:
+    """SILog: sqrt(E[g²] − λ·E[g]²) · 10, g = log(pred) − log(gt),
+    over valid pixels (loss.py SILogLoss semantics)."""
+    eps = 1e-6
+    g = jnp.log(jnp.maximum(pred, eps)) - jnp.log(jnp.maximum(target,
+                                                              eps))
+    m = mask.astype(pred.dtype)
+    n = jnp.maximum(m.sum(), 1.0)
+    mean_g = (g * m).sum() / n
+    mean_g2 = (g * g * m).sum() / n
+    return jnp.sqrt(jnp.maximum(
+        mean_g2 - variance_focus * mean_g ** 2, eps)) * 10.0
+
+
+def grad_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                 mask: jnp.ndarray, scales: int = 4) -> jnp.ndarray:
+    """Multi-scale gradient matching (loss.py GradL1Loss)."""
+    total = 0.0
+    p, t, m = pred, target, mask.astype(pred.dtype)
+    for s in range(scales):
+        dxp = jnp.abs(jnp.diff(p, axis=-2))
+        dxt = jnp.abs(jnp.diff(t, axis=-2))
+        mx = m[..., 1:, :] * m[..., :-1, :]
+        dyp = jnp.abs(jnp.diff(p, axis=-3))
+        dyt = jnp.abs(jnp.diff(t, axis=-3))
+        my = m[..., 1:, :, :] * m[..., :-1, :, :]
+        total = total + (jnp.abs(dxp - dxt) * mx).sum() \
+            / jnp.maximum(mx.sum(), 1.0) \
+            + (jnp.abs(dyp - dyt) * my).sum() / jnp.maximum(my.sum(), 1.0)
+        if s < scales - 1:
+            p = p[..., ::2, ::2, :]
+            t = t[..., ::2, ::2, :]
+            m = m[..., ::2, ::2, :]
+    return total
+
+
+def multi_side_bce(sides, target: jnp.ndarray,
+                   loss0_weight: float = 5.0) -> jnp.ndarray:
+    """ISNet/U2Net fusion loss: BCE on every side output, the primary
+    side weighted (isnet.py:44-61 muti_loss_fusion)."""
+    t = target[..., None] if target.ndim == sides[0].ndim - 1 else target
+    total = 0.0
+    for i, s in enumerate(sides):
+        bce = optax.sigmoid_binary_cross_entropy(s, t).mean()
+        total = total + (loss0_weight if i == 0 else 1.0) * bce
+    return total
+
+
+def f1_mae(pred_prob: jnp.ndarray, target: jnp.ndarray,
+           thr: float = 0.5) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Validation metrics of the refine trainer
+    (animeseg_refine/__init__.py:44-59)."""
+    p = (pred_prob > thr).astype(jnp.float32)
+    t = (target > 0.5).astype(jnp.float32)
+    tp = (p * t).sum()
+    prec = tp / jnp.maximum(p.sum(), 1.0)
+    rec = tp / jnp.maximum(t.sum(), 1.0)
+    f1 = 2 * prec * rec / jnp.maximum(prec + rec, 1e-9)
+    mae = jnp.abs(pred_prob - target).mean()
+    return f1, mae
+
+
+# ---------------------------------------------------------------------------
+# train steps (generic over the model apply fn)
+# ---------------------------------------------------------------------------
+
+class SimpleState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_depth_train_step(apply_fn: Callable, tx, w_si: float = 1.0,
+                          w_grad: float = 0.0):
+    """apply_fn(params, images) → depth (B, H, W, 1). Batch sharded
+    over 'data' → XLA inserts the gradient all-reduce."""
+
+    @jax.jit
+    def step(state: SimpleState, batch: Dict):
+        def loss_fn(p):
+            pred = apply_fn(p, batch['images'])
+            mask = batch['mask']
+            l_si = silog_loss(pred, batch['depth'], mask)
+            loss = w_si * l_si
+            metrics = {'l_si': l_si}
+            if w_grad > 0:
+                l_g = grad_l1_loss(pred, batch['depth'], mask)
+                loss = loss + w_grad * l_g
+                metrics['l_grad'] = l_g
+            metrics['loss'] = loss
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SimpleState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_refine_train_step(apply_fn: Callable, tx,
+                           loss0_weight: float = 5.0):
+    """apply_fn(params, x) → tuple of side logits (ISNet/U2Net)."""
+
+    @jax.jit
+    def step(state: SimpleState, batch: Dict):
+        def loss_fn(p):
+            sides = apply_fn(p, batch['input'])
+            loss = multi_side_bce(sides, batch['target'], loss0_weight)
+            f1, mae = f1_mae(jax.nn.sigmoid(sides[0][..., 0]),
+                             batch['target'])
+            return loss, {'loss': loss, 'f1': f1, 'mae': mae}
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SimpleState(params, opt_state, state.step + 1), metrics
+
+    return step

@@ -32,7 +32,7 @@ from ..ops.bokeh import bokeh_blur
 from ..ops.camera import (DepthRange, autozoom, compute_shift, depth_range,
                           shift_points)
 from ..ops.discfill import fill_disocclusion
-from ..ops.discfill2 import fill_disocclusion_fast2
+from ..ops.discfill3 import fill_disocclusion_fast3
 from ..ops.filters import valid_depth_mask
 from ..ops.pointcloud import depth_to_points, render_pointcloud
 from ..utils import LOGGER, crop_center_resize, scaledown_maxsize
@@ -199,10 +199,58 @@ class KenBurnsPipeline:
         cfg = self.cfg
         if cfg.depth_est == 'default':
             return self._est_default(image)
+        if cfg.depth_est == 'zoe':
+            return self._est_zoe(image)
         if cfg.depth_est not in ('leres',):
             LOGGER.warning(f'depth_est={cfg.depth_est} not yet ported; '
                            'using leres')
         return self._est_leres(image)
+
+    def _est_zoe(self, image: jnp.ndarray) -> jnp.ndarray:
+        """ZoeDepth metric depth at ~672px with flip TTA, converted to
+        disparity. Parity: kenburns_effect.py:812-818 (_depth_est_zoe;
+        img_size [672,672] set at :543)."""
+        from ..models.zoedepth import ZoeDepth, infer_zoe
+        from ..utils import scaledown_size
+        cfg = self.cfg
+        H, W = image.shape[:2]
+        zh, zw = scaledown_size(H, W, 672, divisor=32)
+        if getattr(self, '_zoe_net', None) is None \
+                or self._zoe_net.img_size != (zh, zw):
+            self._zoe_net = ZoeDepth(img_size=(zh, zw))
+            self._zoe_vars = None
+        if self._zoe_vars is None:
+            LOGGER.warning('zoedepth: RANDOM init (no checkpoint loaded)')
+            self._zoe_vars = self._zoe_net.init(
+                jax.random.PRNGKey(self._seed),
+                jnp.zeros((1, zh, zw, 3), jnp.float32))
+        key = ('zoe', H, W, zh, zw)
+        if key not in self._jit_cache:
+            net = self._zoe_net
+            focal, baseline = cfg.focal, cfg.baseline
+
+            @jax.jit
+            def fn(variables, img):
+                rgb = jax.image.resize(img[..., ::-1], (zh, zw, 3),
+                                       method='linear')
+                depth = infer_zoe(net, variables, rgb[None])[0]
+                depth = jnp.maximum(depth, 1e-5)
+                disp = (focal * baseline) / (depth + 1e-5)
+                disp = jnp.nan_to_num(disp, nan=0.0, posinf=0.0,
+                                      neginf=0.0)
+                return jax.image.resize(disp, (H, W, 1), method='linear')
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](self._zoe_vars, image)
+
+    def load_zoe_checkpoint(self, path: str) -> None:
+        """ZoeD_M12_N.pt → Flax (models/convert_zoedepth.py)."""
+        from ..models.convert import load_torch_ckpt
+        from ..models.convert_zoedepth import convert_zoedepth
+        from ..models.zoedepth import ZoeDepth
+        if getattr(self, '_zoe_net', None) is None:
+            self._zoe_net = ZoeDepth(img_size=(672, 672))
+        self._zoe_vars = convert_zoedepth(load_torch_ckpt(path),
+                                          self._zoe_net.img_size)
 
     def _est_default(self, image: jnp.ndarray) -> jnp.ndarray:
         H, W = image.shape[:2]
@@ -315,14 +363,12 @@ class KenBurnsPipeline:
         depth_scale = crop_w / max_cw
         return shift_u, shift_v, depth_scale, crop_w, crop_h
 
-    def inpaint_pass(self, state: KenBurnsState, shift_u: float,
-                     shift_v: float, depth_scale: float) -> KenBurnsState:
-        """One Inpaint-net pass at a camera extreme; appends the newly
-        hallucinated points. Parity: kenburns_effect.py:441-514
-        (inpaint) with inpaint_type='default'."""
+    def _inpaint_forward(self, state: KenBurnsState, shift_u, shift_v,
+                         depth_scale):
+        """Inpaint-net forward at a camera extreme → (out dict, shift)."""
         cfg = self.cfg
         H, W = state.hw
-        key = ('inpaint', H, W, state.cloud.capacity)
+        key = ('inpaint_fwd', H, W)
         if key not in self._jit_cache:
             focal, baseline = cfg.focal, cfg.baseline
             net = self._inpaint_net
@@ -330,30 +376,95 @@ class KenBurnsPipeline:
             @jax.jit
             def fn(variables, state, shift_u, shift_v, depth_scale):
                 dr = state.depth_range
-                depth_from = dr.min_val
-                depth_to = dr.min_val * depth_scale
-                shift = compute_shift(dr, shift_u, shift_v, depth_from,
-                                      depth_to, W, H, focal)
+                shift = compute_shift(
+                    dr, shift_u, shift_v, dr.min_val,
+                    dr.min_val * depth_scale, W, H, focal)
                 shift = 1.1 * shift  # kenburns_effect.py:1012
                 segmask = state.instances.compose_masks()[..., None] \
                     .astype(jnp.float32)
                 out = net.apply(variables, state.image, state.disparity,
                                 shift, focal, baseline, segmasks=segmask)
-                new_disp = out['disparity']
-                new_depth = (focal * baseline) / (new_disp + 1e-7)
-                valid = valid_depth_mask(new_disp)
-                pts = depth_to_points((new_depth * valid)[..., 0], focal)
-                pts = pts.reshape(-1, 3) - shift[None, :]
-                hole = (out['existing'][..., 0] == 0.0).reshape(-1)
-                cloud = state.cloud.append_masked(
-                    pts, out['image'].reshape(-1, 3),
-                    new_disp.reshape(-1), new_depth.reshape(-1), hole)
-                return state.replace(cloud=cloud)
+                return out, shift
             self._jit_cache[key] = fn
         return self._jit_cache[key](self._vars('inpaint'), state,
                                     jnp.float32(shift_u),
                                     jnp.float32(shift_v),
                                     jnp.float32(depth_scale))
+
+    def _inpaint_append(self, state: KenBurnsState, image, disparity,
+                        existing, shift) -> KenBurnsState:
+        """Unproject the hallucinated pixels and append the hole ones
+        (kenburns_effect.py:453-512)."""
+        cfg = self.cfg
+        H, W = state.hw
+        key = ('inpaint_app', H, W, state.cloud.capacity)
+        if key not in self._jit_cache:
+            focal, baseline = cfg.focal, cfg.baseline
+
+            @jax.jit
+            def fn(state, image, disparity, existing, shift):
+                new_depth = (focal * baseline) / (disparity + 1e-7)
+                valid = valid_depth_mask(disparity)
+                pts = depth_to_points((new_depth * valid)[..., 0], focal)
+                pts = pts.reshape(-1, 3) - shift[None, :]
+                hole = (existing[..., 0] == 0.0).reshape(-1)
+                cloud = state.cloud.append_masked(
+                    pts, image.reshape(-1, 3),
+                    disparity.reshape(-1), new_depth.reshape(-1), hole)
+                return state.replace(cloud=cloud)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](state, image, disparity, existing,
+                                    shift)
+
+    def inpaint_pass(self, state: KenBurnsState, shift_u: float,
+                     shift_v: float, depth_scale: float) -> KenBurnsState:
+        """One inpainting pass at a camera extreme. inpaint_type
+        'default' keeps everything on device; 'patchmatch' routes the
+        hallucinated image through the native C++ PatchMatch library;
+        'ldm' posts it to the sd-webui API. Parity:
+        kenburns_effect.py:441-514."""
+        cfg = self.cfg
+        out, shift = self._inpaint_forward(state, shift_u, shift_v,
+                                           depth_scale)
+        image = out['image']
+
+        if cfg.inpaint_type in ('patchmatch', 'ldm'):
+            import cv2
+            H, W = state.hw
+            hole = np.asarray(jax.device_get(
+                out['existing'][..., 0] == 0.0))
+            mask = (hole * 255).astype(np.uint8)
+            seg = out.get('segmasks')
+            if seg is not None:
+                seg_np = np.asarray(jax.device_get(seg[..., 0] > 0))
+                mask = np.bitwise_or(mask, seg_np.astype(np.uint8) * 255)
+            img_u8 = np.asarray(jnp.clip(image, 0, 1) * 255
+                                ).astype(np.uint8)
+            if cfg.inpaint_type == 'patchmatch':
+                from ..ops import patchmatch_native
+                filled = patchmatch_native.inpaint(img_u8, mask,
+                                                   patch_size=3)
+            else:
+                from ..serving.sd_webui import ldm_inpaint_webui
+                e = 5
+                el = cv2.getStructuringElement(
+                    cv2.MORPH_ELLIPSE, (2 * e + 1, 2 * e + 1))
+                mask_d = cv2.dilate(mask, el)
+                prompt = 'high quality, masterpiece, no_humans'
+                neg = ('cat, human, single, person, girl, 1girl, '
+                       'creature, animal, alien, robot, body')
+                res = cfg.ldm_inpaint_size or cfg.max_size
+                opts = {k: getattr(cfg.ldm_inpaint_options, k)
+                        for k in ('steps', 'cfg_scale', 'sample_name',
+                                  'denoising_strength',
+                                  'inpainting_fill', 'seed', 'subseed')}
+                filled = ldm_inpaint_webui(
+                    img_u8[..., ::-1], mask_d, res, cfg.sd_img2img_url,
+                    prompt, neg, **opts)[..., ::-1]
+            image = jnp.asarray(filled.astype(np.float32) / 255.0)
+
+        return self._inpaint_append(state, image, out['disparity'],
+                                    out['existing'], shift)
 
     # -- stage 4: frame rendering ----------------------------------------
     def render_frames(self, state: KenBurnsState, obj_from: Dict,
@@ -385,7 +496,7 @@ class KenBurnsPipeline:
                     cfg.depth_factor, cfg.dof_speed)
             max_steps = cfg.discfill_max_steps
             if cfg.discfill_mode == 'fast':
-                fill = lambda im, d: fill_disocclusion_fast2(im, d)
+                fill = lambda im, d: fill_disocclusion_fast3(im, d)
             else:
                 fill = lambda im, d: fill_disocclusion(
                     im, d, max_steps=max_steps)
@@ -479,24 +590,23 @@ class KenBurnsPipeline:
         cfg = self.cfg
         if steps is None:
             steps = np.linspace(0.0, 1.0, cfg.num_frame)
-        if inpaint and cfg.inpaint_type == 'default':
+        if inpaint:
             for t in (0.0, 1.0):
                 su, sv, ds, _, _ = self._camera_params(
                     t, obj_from, obj_to, state)
                 state = self.inpaint_pass(state, su, sv, ds)
-        elif inpaint:
-            state = self._inpaint_host(state, obj_from, obj_to)
+        state = self.compact_state(state)
         return self.render_frames(state, obj_from, obj_to, steps)
 
-    def _inpaint_host(self, state, obj_from, obj_to):
-        """patchmatch / ldm inpainting adapters (host-side seam).
-        Round-1: falls back to the default net."""
-        LOGGER.warning(f'inpaint_type={self.cfg.inpaint_type} adapter '
-                       'not yet wired; using default inpaint net')
-        for t in (0.0, 1.0):
-            su, sv, ds, _, _ = self._camera_params(
-                t, obj_from, obj_to, state)
-            state = self.inpaint_pass(state, su, sv, ds)
+    def compact_state(self, state: KenBurnsState) -> KenBurnsState:
+        """Shrink the point cloud to a snug static capacity (bucketed
+        to limit recompiles) — the per-frame splat cost scales with
+        buffer capacity, not live points."""
+        count = int(jax.device_get(state.cloud.count))
+        bucket = 1 << 16
+        snug = -(-int(count * 1.02) // bucket) * bucket
+        if snug < state.cloud.capacity:
+            state = state.replace(cloud=state.cloud.shrink_to(snug))
         return state
 
     def run(self, img: Union[str, np.ndarray],

@@ -41,6 +41,20 @@ class PointCloud:
             count=jnp.zeros((), jnp.int32),
         )
 
+    def shrink_to(self, capacity: int) -> 'PointCloud':
+        """Slice to a smaller static capacity (appends are compact, so
+        live slots are a prefix; trailing slots are z=0 → dropped by
+        the renderer). Used after the inpaint passes so the per-frame
+        splat only touches a snug buffer."""
+        capacity = min(capacity, self.capacity)
+        return PointCloud(
+            points=self.points[:capacity],
+            colors=self.colors[:capacity],
+            disparity=self.disparity[:capacity],
+            depth=self.depth[:capacity],
+            count=jnp.minimum(self.count, capacity),
+        )
+
     def append_masked(self, points, colors, disparity, depth, mask
                       ) -> 'PointCloud':
         """Append entries where ``mask`` is True (compacted), dropping

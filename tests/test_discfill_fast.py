@@ -75,3 +75,19 @@ def test_fast2_matches_fast_exactly(rng):
     b = np.asarray(fill_disocclusion_fast2(jnp.asarray(img),
                                            jnp.asarray(depth)))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fast3_matches_fast_exactly(rng):
+    from cartoonsegmentation_tpu.ops.discfill3 import (
+        fill_disocclusion_fast3)
+    H, W = 37, 53
+    img = rng.rand(H, W, 4).astype(np.float32)
+    depth = (rng.rand(H, W).astype(np.float32) + 0.5)
+    depth[12:30, 14:34] = 0.0
+    depth[:, :2] = 0.0
+    img[depth == 0] = 0.0
+    a = np.asarray(fill_disocclusion_fast(jnp.asarray(img),
+                                          jnp.asarray(depth)))
+    b = np.asarray(fill_disocclusion_fast3(jnp.asarray(img),
+                                           jnp.asarray(depth)))
+    np.testing.assert_allclose(a, b, atol=1e-6)

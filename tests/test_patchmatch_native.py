@@ -1,0 +1,39 @@
+"""Native C++ PatchMatch: build + inpaint quality."""
+import numpy as np
+import pytest
+
+from cartoonsegmentation_tpu.ops import patchmatch_native as pm
+
+
+def test_build_and_inpaint_gradient(rng):
+    H = W = 96
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.stack([xx * 255 // W, yy * 255 // H,
+                    (xx + yy) * 255 // (H + W)], -1).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[30:60, 35:70] = 255
+    corrupted = img.copy()
+    corrupted[mask > 0] = 0
+
+    out = pm.inpaint(corrupted, mask, patch_size=5, iterations=4)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # untouched outside
+    np.testing.assert_array_equal(out[mask == 0], img[mask == 0])
+    # smooth gradient reconstructed within ~12 intensity levels
+    err = np.abs(out[mask > 0].astype(int) - img[mask > 0].astype(int))
+    assert err.mean() < 12.0, err.mean()
+
+
+def test_inpaint_textured(rng):
+    H = W = 80
+    img = (rng.rand(H // 8, W // 8, 3) * 255).astype(np.uint8)
+    img = np.kron(img, np.ones((8, 8, 1), np.uint8))  # blocky texture
+    mask = np.zeros((H, W), np.uint8)
+    mask[20:44, 20:52] = 255
+    corrupted = img.copy()
+    corrupted[mask > 0] = 0
+    out = pm.inpaint(corrupted, mask, patch_size=7, iterations=4)
+    # filled, deterministic across calls with same seed
+    assert (out[mask > 0] > 0).mean() > 0.9
+    out2 = pm.inpaint(corrupted, mask, patch_size=7, iterations=4)
+    np.testing.assert_array_equal(out, out2)

@@ -79,3 +79,17 @@ def test_kenburns_depth_field_path(rng):
     frames = pipe.process_kenburns(state, obj_from, obj_to, inpaint=False)
     assert frames.shape == (2, 32, 48, 3)
     assert np.isfinite(frames.astype(np.float32)).all()
+
+
+def test_kenburns_patchmatch_inpaint_type(rng):
+    """'patchmatch' inpaint routes through the native C++ library."""
+    cfg = KenBurnsConfig(max_size=48, num_frame=2, depth_field=False,
+                         inpaint_type='patchmatch', depth_est='default',
+                         point_capacity_factor=1.3)
+    pipe = KenBurnsPipeline(cfg)
+    img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+    state = pipe.generate_state(img)
+    obj_from, obj_to = pipe.autozoom(state)
+    frames = pipe.process_kenburns(state, obj_from, obj_to, inpaint=True)
+    assert frames.shape == (2, 40, 48, 3)
+    assert np.isfinite(frames.astype(np.float32)).all()
