@@ -75,6 +75,7 @@ class KenBurnsConfig:
     point_capacity_factor: float = 2.0      # P_max = factor * H * W
     discfill_max_steps: int = 128           # ray-march cap (exact fill)
     discfill_mode: str = 'fast'             # fast (shear-scan) | exact
+    render_payload_dtype: str = 'bfloat16'  # splat accumulation dtype
 
     # --- ldm (out-of-process sd-webui adapter) ---
     sd_img2img_url: str = 'http://127.0.0.1:7860/sdapi/v1/img2img'

@@ -118,8 +118,10 @@ def degrid(zee: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(count > 0, jnp.minimum(zee, avg), zee)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=())
-def _render_impl(points, data, H, W, focal, baseline):
+@functools.partial(jax.jit, static_argnums=(2, 3),
+                   static_argnames=('payload_dtype',))
+def _render_impl(points, data, H, W, focal, baseline,
+                 payload_dtype=None):
     P = points.shape[0]
     C = data.shape[1]
     u, v, error, valid = _project(points, H, W, focal, baseline)
@@ -138,22 +140,29 @@ def _render_impl(points, data, H, W, focal, baseline):
     zee = degrid(zee[:H * W].reshape(H, W)).reshape(-1)
 
     # --- pass 2: bilinear splat gated by z-test ----------------------
+    # optional reduced-precision accumulation (the scatter-add is the
+    # HBM-bound hot op of the frame loop; bf16 halves its traffic at
+    # ~0.4% relative color error — invisible at uint8 output)
+    acc_dtype = jnp.dtype(payload_dtype) if payload_dtype is not None \
+        else data.dtype
     data1 = jnp.concatenate([data, jnp.ones((P, 1), data.dtype)], 1)
-    out = jnp.zeros((H * W + 1, C + 1), data.dtype)
+    data1 = data1.astype(acc_dtype)
+    out = jnp.zeros((H * W + 1, C + 1), acc_dtype)
     for c in range(4):
         idx, inb = _flat_idx(cx[c], cy[c], H, W, extra_invalid=~valid)
         zref = zee[jnp.clip(idx, 0, H * W - 1)]
         pass_z = error <= zref + 1.0                   # tolerance +1.0
         wc = jnp.where(inb & valid & pass_z, w[c], 0.0)
-        out = out.at[idx].add(data1 * wc[:, None], mode='drop')
-    out = out[:H * W].reshape(H, W, C + 1)
+        out = out.at[idx].add(data1 * wc[:, None].astype(acc_dtype),
+                              mode='drop')
+    out = out[:H * W].reshape(H, W, C + 1).astype(data.dtype)
     weight = out[..., C:]
     render = out[..., :C] / (weight + 1e-7)
     return render, weight, zee.reshape(H, W)
 
 
 def render_pointcloud(points: jnp.ndarray, data: jnp.ndarray, H: int,
-                      W: int, focal, baseline
+                      W: int, focal, baseline, payload_dtype=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-splat ``data`` carried by ``points`` into an (H, W) view.
 
@@ -171,7 +180,9 @@ def render_pointcloud(points: jnp.ndarray, data: jnp.ndarray, H: int,
     """
     render, weight, _ = _render_impl(
         points, data, H, W,
-        jnp.asarray(focal, points.dtype), jnp.asarray(baseline, points.dtype))
+        jnp.asarray(focal, points.dtype),
+        jnp.asarray(baseline, points.dtype),
+        payload_dtype=payload_dtype)
     return render, weight
 
 

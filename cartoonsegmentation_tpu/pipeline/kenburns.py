@@ -115,8 +115,30 @@ class KenBurnsPipeline:
         self._leres_vars = convert_leres(sd)
 
     def set_detector(self, detector) -> None:
-        """Install an AnimeInsSeg (or any callable img→Instances)."""
+        """Install an AnimeInsSeg instance, a detector name from the
+        config ('animeinsseg'/'none'), or any img→Instances callable.
+        Parity: kenburns_effect.py:831-846."""
+        if isinstance(detector, str):
+            if detector in ('none', ''):
+                self._detector = None
+                return
+            if detector == 'animeinsseg':
+                from .segment import AnimeInsSeg
+                seg = AnimeInsSeg(det_size=self.cfg.det_size,
+                                  mask_thr=self.cfg.mask_thr,
+                                  max_instances=self.cfg.max_instances)
+                if self.cfg.refine_method not in ('none', ''):
+                    seg.set_refine_method(self.cfg.refine_method,
+                                          self.cfg.refine_size)
+                self._detector = seg
+                return
+            raise NotImplementedError(f'Invalid detector: {detector}')
         self._detector = detector
+
+    def ensure_detector(self) -> None:
+        """Instantiate the configured detector if none installed."""
+        if self._detector is None and self.cfg.detector not in ('none', ''):
+            self.set_detector(self.cfg.detector)
 
     # -- stage 1: state generation --------------------------------------
     def generate_state(self, img: Union[str, np.ndarray],
@@ -489,7 +511,7 @@ class KenBurnsPipeline:
 
         key = ('frames', H, W, state.cloud.capacity, T, max_cw, max_ch,
                bool(depth_field), cfg.discfill_max_steps,
-               cfg.discfill_mode)
+               cfg.discfill_mode, cfg.render_payload_dtype)
         if key not in self._jit_cache:
             focal, baseline = cfg.focal, cfg.baseline
             dcfg = (cfg.dof_num_samples, cfg.lightness_factor,
@@ -512,7 +534,8 @@ class KenBurnsPipeline:
                 data = jnp.concatenate(
                     [state.cloud.colors, state.cloud.depth[:, None]], 1)
                 render, existing = render_pointcloud(
-                    pts, data, H, W, focal, baseline)
+                    pts, data, H, W, focal, baseline,
+                    payload_dtype=cfg.render_payload_dtype)
                 filled = fill(
                     render, render[..., 3] * (existing[..., 0] > 0))
                 frame = filled[..., :3]
@@ -569,10 +592,13 @@ class KenBurnsPipeline:
                     fp_start = jnp.float32(0.0)
                     fp_end = jnp.float32(255.0)
 
+                # NOTE: the state is closed over (a scan *constant*),
+                # not carried — carrying the ~40MB pytree made XLA
+                # copy it every iteration (~200ms/frame at 1024).
                 def step(carry, cam):
-                    return carry, render_one(carry, cam,
+                    return carry, render_one(state, cam,
                                              (fp_start, fp_end))
-                _, frames = jax.lax.scan(step, state, cams)
+                _, frames = jax.lax.scan(step, 0, cams)
                 return frames
             self._jit_cache[key] = fn
 

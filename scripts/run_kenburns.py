@@ -21,6 +21,9 @@ def main():
     ap.add_argument('--verbose', action='store_true',
                     help='dump intermediate stages (depth, inpaint)')
     ap.add_argument('--no-depth-field', action='store_true')
+    ap.add_argument('--with-detector', action='store_true',
+                    help='run instance segmentation (needs converted '
+                         'weights for useful masks)')
     args = ap.parse_args()
 
     import cv2
@@ -33,6 +36,8 @@ def main():
     if args.no_depth_field:
         cfg = cfg.replace(depth_field=False)
     pipe = KenBurnsPipeline(cfg)
+    if args.with_detector:
+        pipe.ensure_detector()
 
     os.makedirs(args.save_dir, exist_ok=True)
     name = osp.splitext(osp.basename(args.input_img))[0]

@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Batch 3D Ken Burns over a directory (parity: reference
+run_kenburns_batch.py). State-generation compiles once per image
+shape bucket; subsequent images of the same size reuse the jits."""
+import argparse
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--cfg', default='configs/3dkenburns.yaml')
+    ap.add_argument('--input-dir', required=True)
+    ap.add_argument('--save-dir', default='workspace/output')
+    ap.add_argument('--with-detector', action='store_true',
+                    help='run instance segmentation (needs converted '
+                         'weights for useful masks)')
+    args = ap.parse_args()
+
+    from cartoonsegmentation_tpu.config import build_kenburns_cfg
+    from cartoonsegmentation_tpu.pipeline import (KenBurnsPipeline,
+                                                  write_video)
+
+    cfg = build_kenburns_cfg(args.cfg)
+    pipe = KenBurnsPipeline(cfg)
+    if args.with_detector:
+        pipe.ensure_detector()
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    imgs = sorted(
+        osp.join(args.input_dir, f) for f in os.listdir(args.input_dir)
+        if f.lower().endswith(('.jpg', '.jpeg', '.png', '.webp')))
+    for p in imgs:
+        name = osp.splitext(osp.basename(p))[0]
+        out = osp.join(args.save_dir, f'{name}.mp4')
+        frames = pipe.run(p)
+        write_video(frames, out, playback=cfg.playback)
+        print(f'{p} -> {out} ({len(frames)} frames)')
+
+
+if __name__ == '__main__':
+    main()

@@ -69,3 +69,16 @@ def test_isnet_refiner_pipeline(rng):
     ref2 = AnimeSegRefiner(input_size=64)
     out2 = ref2(ins, img)
     assert out2.masks.shape == (4, 40, 60)
+
+
+def test_modnet_forward_and_refiner(rng):
+    from cartoonsegmentation_tpu.models.modnet import MODNet
+    import jax
+    net = MODNet()
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = net.init(jax.random.PRNGKey(0), x, inference=False)
+    s, d, m = net.apply(v, x, inference=False)
+    assert s.shape == (1, 4, 4, 1)
+    assert d.shape == (1, 64, 64, 1)
+    assert m.shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(m)).all()

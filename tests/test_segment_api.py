@@ -44,3 +44,19 @@ def test_tagger_stub_deterministic(rng):
     assert tags == t.label_cv2_bgr(img)[0]
     assert 'blue_theme' in tags
     assert chars == []
+
+
+def test_infer_batch_dp_mesh(seg, rng):
+    """Batch inference sharded over the 8-device CPU mesh matches
+    single-image inference."""
+    imgs = [(rng.rand(90, 120, 3) * 255).astype(np.uint8)
+            for _ in range(3)]
+    batch = seg.infer_batch(imgs, pred_score_thr=0.0)
+    assert len(batch) == 3
+    single = seg.infer(imgs[0], pred_score_thr=0.0)
+    np.testing.assert_allclose(
+        np.asarray(batch[0].scores), np.asarray(single.scores),
+        rtol=1e-4, atol=1e-5)
+    agree = (np.asarray(batch[0].masks) == np.asarray(single.masks)
+             ).mean()
+    assert agree > 0.999, agree
