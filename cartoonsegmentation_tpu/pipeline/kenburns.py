@@ -57,6 +57,10 @@ class KenBurnsPipeline:
         self._leres_vars = None
         self._detector = None
         self._jit_cache: Dict = {}
+        # verbose-mode stage artifacts (parity: the reference's
+        # tmp_stage_* dumps, run_kenburns.py:25-39 — its de-facto
+        # regression mechanism)
+        self.stages: Dict[str, np.ndarray] = {}
 
     # -- weights -------------------------------------------------------
     def _vars(self, which: str):
@@ -166,8 +170,10 @@ class KenBurnsPipeline:
         image = jnp.asarray(img.astype(np.float32) / 255.0)
 
         disparity_raw = self._estimate_disparity(image)
+        self._stage_depth('depth_coarse', disparity_raw)
         disparity_raw = self._adjust_disparity(image, disparity_raw,
                                                instances)
+        self._stage_depth('depth_adjusted', disparity_raw)
         # final refinement (kenburns_effect.py:618-622): Refine net or
         # the CPU/TPU-hybrid CRF path, both optional
         if cfg.default_depth_refine:
@@ -180,8 +186,25 @@ class KenBurnsPipeline:
                 img, np.asarray(jax.device_get(disparity_raw[..., 0])),
                 ins_mask if ins_mask.any() else None)
             disparity_raw = jnp.asarray(refined)[..., None]
+        self._stage_depth('depth_final', disparity_raw)
+        if self._detector is not None:
+            self.stages['instances'] = instances.draw(img)
         state = self._prepare_state(image, disparity_raw, instances)
         return state
+
+    def _stage_depth(self, name: str, disparity) -> None:
+        self.stages[name] = np.asarray(
+            jax.device_get(colorize_gray_r(disparity[..., 0]))
+        ).astype(np.uint8)
+
+    def save_stages(self, save_dir: str, name: str) -> None:
+        """Write the verbose stage dumps (tmp_stage_<stage>_<name>.png
+        parity with reference run_kenburns.py --verbose)."""
+        import cv2
+        import os
+        os.makedirs(save_dir, exist_ok=True)
+        for stage, img in self.stages.items():
+            cv2.imwrite(f'{save_dir}/tmp_stage_{stage}_{name}.png', img)
 
     def _adjust_disparity(self, image, disparity, instances):
         H, W = image.shape[:2]
@@ -449,6 +472,9 @@ class KenBurnsPipeline:
         out, shift = self._inpaint_forward(state, shift_u, shift_v,
                                            depth_scale)
         image = out['image']
+
+        self.stages[f'inpainted_{int(jax.device_get(state.cloud.count))}'] = \
+            np.asarray(jnp.clip(out['image'], 0, 1) * 255).astype(np.uint8)
 
         if cfg.inpaint_type in ('patchmatch', 'ldm'):
             import cv2

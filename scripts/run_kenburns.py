@@ -43,15 +43,10 @@ def main():
     name = osp.splitext(osp.basename(args.input_img))[0]
 
     state = pipe.generate_state(args.input_img)
-    if args.verbose:
-        from cartoonsegmentation_tpu.pipeline.depth import colorize_gray_r
-        d = np.asarray(colorize_gray_r(state.disparity[..., 0]))
-        cv2.imwrite(osp.join(args.save_dir,
-                             f'tmp_stage_depth_final_{name}.png'),
-                    d.astype(np.uint8))
-
     obj_from, obj_to = pipe.autozoom(state)
     frames = pipe.process_kenburns(state, obj_from, obj_to)
+    if args.verbose:
+        pipe.save_stages(args.save_dir, name)
 
     out_path = osp.join(args.save_dir, f'{name}.mp4')
     write_video(frames, out_path, playback=cfg.playback)
