@@ -79,8 +79,9 @@ def convert_zoedepth(sd: Dict, img_size: Tuple[int, int] = (384, 512)
          _np(sd[f'{pm}.patch_embed.proj.bias']))
     _put(P, bb + ('cls_token',), _np(sd[f'{pm}.cls_token'])[0][None])
 
-    n_blocks = 1 + max(int(k.split('.')[4]) for k in sd
-                       if k.startswith(f'{pm}.blocks.'))
+    n_blocks = 1 + max(
+        int(k[len(f'{pm}.blocks.'):].split('.')[0]) for k in sd
+        if k.startswith(f'{pm}.blocks.'))
     for i in range(n_blocks):
         t = f'{pm}.blocks.{i}'
         f = bb + (f'block{i}',)
@@ -141,6 +142,10 @@ def convert_zoedepth(sd: Dict, img_size: Tuple[int, int] = (384, 512)
         for rcu_t, rcu_f in (('resConfUnit1', 'rcu1'),
                              ('resConfUnit2', 'rcu2')):
             if f'{t}.{rcu_t}.conv1.weight' not in sd:
+                continue
+            if i == 4 and rcu_t == 'resConfUnit1':
+                # refinenet4 has no skip input; the torch module still
+                # instantiates (dead) resConfUnit1 weights — drop them
                 continue
             for c in ('conv1', 'conv2'):
                 _put(P, f + (rcu_f, c, 'kernel'),
