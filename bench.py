@@ -62,6 +62,31 @@ def main() -> None:
     host = np.asarray(jax.device_get(frames))
     transfer_s = time.time() - t0
 
+    # secondary: detector forward+postprocess throughput at 640
+    # (scan-chained so tunnel dispatch latency doesn't pollute it)
+    import jax.numpy as jnp
+    from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
+    seg = AnimeInsSeg(det_size=640)
+    x, _, _ = seg._preprocess(img)
+    variables = seg._ensure_variables()
+
+    @jax.jit
+    def det_scan(variables, x0):
+        def step(x, _):
+            out = seg.model.apply(variables, x)
+            # chain: derive next input from this forward's output
+            delta = out[3].mean() * 0.0
+            return x + delta, out[0][0].mean()
+        _, outs = jax.lax.scan(step, x0, None, length=8)
+        return outs
+
+    outs = det_scan(variables, jnp.asarray(x))
+    jax.block_until_ready(outs)
+    t0 = time.time()
+    outs = det_scan(variables, jnp.asarray(x) * 1.0001)
+    jax.block_until_ready(outs)
+    det_fps = 8 / (time.time() - t0)
+
     result = {
         'metric': 'kenburns_render_fps_1024',
         'value': round(fps, 3),
@@ -73,6 +98,7 @@ def main() -> None:
             'render_s_total': round(dt, 3),
             'host_transfer_s': round(transfer_s, 3),
             'device': str(jax.devices()[0]),
+            'detector_fwd_fps_640': round(det_fps, 2),
         },
     }
     print(json.dumps(result))

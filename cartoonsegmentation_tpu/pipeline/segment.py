@@ -102,7 +102,8 @@ class AnimeInsSeg:
     # ------------------------------------------------------------------
     def infer(self, img: Union[str, np.ndarray],
               pred_score_thr: float = 0.3,
-              output_type: str = 'instances') -> Instances:
+              output_type: str = 'instances',
+              remove_duplicated: bool = False) -> Instances:
         """Run detection on one image (path or BGR array).
 
         Parity: animeinsseg/__init__.py:401-504 (infer/_det_forward/
@@ -129,6 +130,9 @@ class AnimeInsSeg:
             [bboxes[:, :2], bboxes[:, 2:] - bboxes[:, :2]], 1)
         ins = Instances(masks=masks, bboxes=jnp.round(xywh),
                         scores=out['scores'], valid=out['valid'])
+        if remove_duplicated:
+            # overlap dedup (anime_instances.py:84-127 semantics)
+            ins = ins.remove_duplicated()
         if self.refine is not None:
             ins = self.refine(ins, img)
         return ins

@@ -9,3 +9,9 @@ from .image import (  # noqa: F401
     pad2divisor, resize_bilinear, resize_bilinear_ac, crop_center_resize,
     to_float_chw,
 )
+from .io import (  # noqa: F401
+    find_all_imgs, json2dict, dict2json, img2b64, b64_2img,
+    imglist2grid, save_encoded_image,
+)
+from .env import set_multi_processing  # noqa: F401
+from .checkpoint import save_params, load_params  # noqa: F401
