@@ -13,7 +13,7 @@ the reference's; the dense CRF runs on device (ops/crf.py replaces
 pydensecrf)."""
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

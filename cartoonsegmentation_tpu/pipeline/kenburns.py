@@ -17,9 +17,8 @@ TPU re-design of reference anime_3dkenburns/kenburns_effect.py
 """
 from __future__ import annotations
 
-import functools
 import math
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from ..config import KenBurnsConfig, build_kenburns_cfg
 from ..instances import Instances
 from ..models.kenburns import DisparityEstimator, Inpaint, Refine
 from ..ops.bokeh import bokeh_blur
-from ..ops.camera import (DepthRange, autozoom, compute_shift, depth_range,
+from ..ops.camera import (autozoom, compute_shift, depth_range,
                           shift_points)
 from ..ops.discfill import fill_disocclusion
 from ..ops.discfill3 import fill_disocclusion_fast3

@@ -8,7 +8,6 @@ chunked through the ISNet in groups, one jitted program per
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
