@@ -6,12 +6,12 @@ params replicated, gradient all-reduce inserted by XLA over ICI —
 replacing torch.distributed `reduce_mean`
 (rtmdet_inshead_custom.py:118-124).
 
-The loss here is a functional RTMDet-Ins loss with a center-distance
-assigner (one positive prior per gt, plus a radius of extras):
-classification quality-focal BCE over all priors, GIoU on positives,
-mask BCE on positives via the dynamic-conv heads. The reference's
-DynamicSoftLabelAssigner (cost-based top-k) is a planned refinement —
-the training *system* (sharding, optimizer, step) is complete.
+The loss is a functional RTMDet-Ins loss: classification
+quality-focal BCE over all priors, GIoU on positives, mask BCE on
+positives via the dynamic-conv heads. Positives come from the
+DynamicSoftLabelAssigner (parallel/dsla.py — the assigner mmdet uses
+for the reference's RTMDet training) by default; a cheap
+center-distance assigner remains available via ``assigner='center'``.
 """
 from __future__ import annotations
 
@@ -25,6 +25,7 @@ import optax
 from ..models.rtmdet import (AnimeDetector, NUM_GEN_PARAMS, STRIDES,
                              box_iou, distance2bbox, dynamic_mask_heads,
                              level_priors)
+from .dsla import dynamic_soft_label_assign
 
 
 class TrainState(NamedTuple):
@@ -84,7 +85,7 @@ def _assign_targets(priors, strides, gt_boxes, gt_valid):
 
 
 def detector_loss(model: AnimeDetector, params, batch_stats, batch,
-                  mask_loss_stride: int = 4):
+                  mask_loss_stride: int = 4, assigner: str = 'dsla'):
     """batch: images (B,H,W,3), gt_boxes (B,G,4) xyxy, gt_valid (B,G),
     gt_masks (B,G,H,W)."""
     images = batch['images']
@@ -97,8 +98,16 @@ def detector_loss(model: AnimeDetector, params, batch_stats, batch,
         cls_out, reg_out, krn_out, (H, W))
 
     def per_image(score, dist, kern, mfeat, gt_boxes, gt_valid, gt_masks):
-        pos, gt_idx = _assign_targets(priors, strides, gt_boxes, gt_valid)
         boxes = distance2bbox(priors, dist)
+        if assigner == 'dsla':
+            pos, gt_idx, _ = dynamic_soft_label_assign(
+                priors, strides, score, boxes, gt_boxes, gt_valid)
+        elif assigner == 'center':
+            pos, gt_idx = _assign_targets(priors, strides, gt_boxes,
+                                          gt_valid)
+        else:
+            raise ValueError(f'unknown assigner: {assigner!r} '
+                             "(use 'dsla' or 'center')")
         tgt_boxes = gt_boxes[gt_idx]
         # quality focal: target = IoU for positives, 0 elsewhere
         iou = jax.vmap(lambda b, t: box_iou(b[None], t[None])[0, 0])(
@@ -157,14 +166,16 @@ def _giou(a, b):
     return iou - (area_c - union) / jnp.maximum(area_c, 1e-9)
 
 
-def make_train_step(model: AnimeDetector, tx: optax.GradientTransformation):
+def make_train_step(model: AnimeDetector, tx: optax.GradientTransformation,
+                    assigner: str = 'dsla'):
     """jit-able DP train step: grads averaged across the sharded batch
     automatically (params replicated → XLA all-reduces)."""
 
     @jax.jit
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(p):
-            return detector_loss(model, p, state.batch_stats, batch)
+            return detector_loss(model, p, state.batch_stats, batch,
+                                 assigner=assigner)
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state,
