@@ -3,3 +3,7 @@ from .mesh import make_mesh, batch_sharding, replicated, shard_batch  # noqa: F4
 from .train import (  # noqa: F401
     TrainState, create_train_state, detector_loss, make_train_step,
 )
+from .depth_train import (  # noqa: F401
+    SimpleState, make_depth_train_step, make_refine_train_step,
+    make_zoe_train_step, silog_loss, zoe_optimizer,
+)

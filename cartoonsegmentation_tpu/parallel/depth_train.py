@@ -148,3 +148,51 @@ def make_refine_train_step(apply_fn: Callable, tx,
         return SimpleState(params, opt_state, state.step + 1), metrics
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# ZoeDepth-specific training pieces
+# ---------------------------------------------------------------------------
+
+def zoe_optimizer(lr: float = 1.6e-4, core_lr_factor: float = 10.0,
+                  wd: float = 0.01, warmup_steps: int = 300,
+                  total_steps: int = 30000):
+    """Optimizer matching ZoeDepth's recipe (zoedepth trainers: AdamW,
+    one-cycle LR, MiDaS core at lr/core_lr_factor via param groups —
+    here an optax.multi_transform over the 'core' subtree)."""
+    import optax as _optax
+
+    def sched(peak):
+        return _optax.warmup_cosine_decay_schedule(
+            0.0, peak, warmup_steps, total_steps)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: 'core'
+            if any(getattr(k, 'key', None) == 'core' for k in path)
+            else 'rest', params)
+
+    return _optax.multi_transform(
+        {'core': _optax.adamw(sched(lr / core_lr_factor),
+                              weight_decay=wd),
+         'rest': _optax.adamw(sched(lr), weight_decay=wd)},
+        label_fn)
+
+
+def make_zoe_train_step(model, tx, min_depth: float = 1e-3,
+                        max_depth: float = 10.0):
+    """Training step for models/zoedepth.ZoeDepth: the model predicts
+    at half resolution, so predictions are upsampled (align-corners,
+    like DepthModel.infer in the reference) to the label grid before
+    the SILog loss."""
+    from ..utils import resize_bilinear_ac
+
+    def apply_fn(params, images):
+        pred = model.apply({'params': params}, images)
+        if isinstance(pred, dict):
+            pred = pred['metric_depth']
+        H, W = images.shape[1:3]
+        pred = resize_bilinear_ac(pred, H, W)
+        return jnp.clip(pred, min_depth, max_depth)
+
+    return make_depth_train_step(apply_fn, tx)
