@@ -28,8 +28,9 @@ from ..utils import LOGGER
 class KenBurnsService:
     """Pipeline wrapper holding per-image cached state."""
 
-    def __init__(self, pipeline):
+    def __init__(self, pipeline, segmentor=None):
         self.pipe = pipeline
+        self.segmentor = segmentor
         self.state = None
         self.obj_from: Optional[Dict] = None
         self.obj_to: Optional[Dict] = None
@@ -79,6 +80,31 @@ class KenBurnsService:
             self.frame_cache[key] = data
             return data
 
+    def segment(self, img_bytes: bytes) -> Dict:
+        """Detect instances (browser UI tab); returns per-instance
+        boxes/scores plus a base64 mask-overlay JPEG."""
+        import base64
+
+        import cv2
+        if self.segmentor is None:
+            raise ValueError('no segmentor configured '
+                             '(serve(..., segmentor=...))')
+        arr = np.frombuffer(img_bytes, np.uint8)
+        img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError('could not decode image')
+        ins = self.segmentor.infer(img)
+        valid = np.asarray(ins.valid)
+        boxes = np.asarray(ins.bboxes)
+        scores = np.asarray(ins.scores)
+        out = [{'bbox': [float(v) for v in boxes[i]],
+                'score': float(scores[i])}
+               for i in range(len(valid)) if valid[i]]
+        overlay = ins.draw(img)
+        ok, enc = cv2.imencode('.jpg', overlay)
+        return {'instances': out,
+                'overlay': base64.b64encode(enc.tobytes()).decode()}
+
     def result_video(self) -> bytes:
         """Full render with inpainting → mp4 bytes."""
         import tempfile
@@ -121,6 +147,8 @@ def make_handler(service: KenBurnsService):
             try:
                 if path == '/load_image':
                     self._json(service.load_image(body))
+                elif path == '/segment':
+                    self._json(service.segment(body))
                 elif path in ('/update_from', '/update_to'):
                     service.update_box(path.rsplit('_', 1)[1],
                                        json.loads(body or b'{}'))
@@ -135,7 +163,11 @@ def make_handler(service: KenBurnsService):
             parsed = urlparse(self.path)
             q = parse_qs(parsed.query)
             try:
-                if parsed.path == '/get_live':
+                if parsed.path in ('/', '/index.html'):
+                    from .webui import PAGE_HTML
+                    self._send(200, PAGE_HTML.encode(),
+                               'text/html; charset=utf-8')
+                elif parsed.path == '/get_live':
                     t = float(q.get('fltTime', ['0'])[0])
                     self._send(200, service.live_frame(t), 'image/jpeg')
                 elif parsed.path == '/get_result':
@@ -156,8 +188,8 @@ def make_handler(service: KenBurnsService):
 
 
 def serve(pipeline, host: str = '0.0.0.0', port: int = 8080,
-          block: bool = True) -> ThreadingHTTPServer:
-    service = KenBurnsService(pipeline)
+          block: bool = True, segmentor=None) -> ThreadingHTTPServer:
+    service = KenBurnsService(pipeline, segmentor=segmentor)
     srv = ThreadingHTTPServer((host, port), make_handler(service))
     srv.service = service
     LOGGER.info(f'kenburns server on {host}:{port}')

@@ -50,3 +50,55 @@ def test_server_roundtrip(rng):
         assert r.status_code == 404
     finally:
         srv.shutdown()
+
+
+def test_webui_page_and_segment(rng):
+    """GET / serves the browser UI; POST /segment runs the detector
+    and returns instances + overlay."""
+    import base64
+
+    from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
+
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         point_capacity_factor=1.2, playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    seg = AnimeInsSeg(det_size=64, max_instances=4)
+    srv = serve(pipe, '127.0.0.1', 0, block=False, segmentor=seg)
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        r = requests.get(f'{base}/')
+        assert r.status_code == 200
+        assert 'text/html' in r.headers['Content-Type']
+        for needle in ('kbLoad', '/segment', '/get_live',
+                       'CartoonSegmentation'):
+            assert needle in r.text
+
+        img = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        r = requests.post(f'{base}/segment', data=enc.tobytes())
+        out = r.json()
+        assert 'instances' in out and isinstance(out['instances'], list)
+        overlay = cv2.imdecode(np.frombuffer(
+            base64.b64decode(out['overlay']), np.uint8), cv2.IMREAD_COLOR)
+        assert overlay is not None and overlay.shape[-1] == 3
+
+        # garbage upload → clean error json
+        r = requests.post(f'{base}/segment', data=b'not an image')
+        assert r.status_code == 500 and 'error' in r.json()
+    finally:
+        srv.shutdown()
+
+
+def test_segment_route_without_segmentor(rng):
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    srv = serve(pipe, '127.0.0.1', 0, block=False)
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        r = requests.post(f'{base}/segment', data=enc.tobytes())
+        assert r.status_code == 500
+        assert 'no segmentor' in r.json()['error']
+    finally:
+        srv.shutdown()
