@@ -14,13 +14,23 @@ def main():
     ap.add_argument('--cfg', default='configs/3dkenburns.yaml')
     ap.add_argument('--host', default='0.0.0.0')
     ap.add_argument('--port', type=int, default=8080)
+    ap.add_argument('--with-detector', action='store_true',
+                    help='enable the /segment route + UI tab')
+    ap.add_argument('--det-ckpt', default='',
+                    help='torch checkpoint for the detector')
     args = ap.parse_args()
 
     from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
     from cartoonsegmentation_tpu.serving.interface import serve
 
     pipe = KenBurnsPipeline(args.cfg)
-    serve(pipe, args.host, args.port, block=True)
+    segmentor = None
+    if args.with_detector:
+        from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
+        segmentor = AnimeInsSeg()
+        if args.det_ckpt:
+            segmentor.load_torch_checkpoint(args.det_ckpt)
+    serve(pipe, args.host, args.port, block=True, segmentor=segmentor)
 
 
 if __name__ == '__main__':
