@@ -45,6 +45,7 @@ class AnimeInsSeg:
         self._variables = None
         self._seed = seed
         self.refine = None  # installed by set_refine_method
+        self.tagger = None  # installed by init_tagger
 
     # ------------------------------------------------------------------
     def _ensure_variables(self):
@@ -107,7 +108,7 @@ class AnimeInsSeg:
         """Run detection on one image (path or BGR array).
 
         Parity: animeinsseg/__init__.py:401-504 (infer/_det_forward/
-        _infer_simple), minus tags (see Tagger adapter).
+        _infer_simple); per-instance tags via infer_tags below.
         """
         import cv2
         if isinstance(img, str):
@@ -314,3 +315,48 @@ class AnimeInsSeg:
         from ..models.convert_rtmdet import convert_rtmdet
         variables = convert_rtmdet(sd)
         self._variables = variables
+
+
+    # ------------------------------------------------------------------
+    # per-instance tagging (animeinsseg/__init__.py:229-260)
+    # ------------------------------------------------------------------
+    def init_tagger(self, model_path: str = '', **tagger_kwargs) -> None:
+        """Install the Danbooru tagger (native Flax SwinV2 backend by
+        default when a non-onnx checkpoint is given; see
+        models/tagger.py)."""
+        from ..models.tagger import Tagger
+        self.tagger = Tagger(model_path, **tagger_kwargs)
+
+    def infer_tags(self, instances: Instances, img_bgr: np.ndarray,
+                   infer_grey: bool = False):
+        """Tag each valid instance from its white-backed masked crop.
+        Returns (tags, character_tags): per valid instance, a
+        space-joined tag string and the character-tag list —
+        `simple_background` / `white_background` are dropped like the
+        reference (animeinsseg/__init__.py:233-260)."""
+        import cv2
+        if self.tagger is None:
+            self.init_tagger()
+        img = img_bgr
+        if infer_grey:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)[..., None]
+            img = img[..., [0, 0, 0]]
+        bboxes = np.asarray(jax.device_get(instances.bboxes))
+        masks = np.asarray(jax.device_get(instances.masks))
+        valid = np.asarray(jax.device_get(instances.valid))
+        exclude = ('simple_background', 'white_background')
+        tags_out, ctags_out = [], []
+        for i in np.flatnonzero(valid):
+            x, y, w, h = bboxes[i].astype(np.int32)
+            crop = img[y:y + h, x:x + w].copy()
+            m = masks[i][y:y + h, x:x + w]
+            if crop.size == 0:
+                tags_out.append('')
+                ctags_out.append([])
+                continue
+            crop[~m.astype(bool)] = 255
+            tags, ctags = self.tagger.label_cv2_bgr(crop)
+            tags_out.append(' '.join(t for t in tags
+                                     if t not in exclude))
+            ctags_out.append(ctags)
+        return tags_out, ctags_out

@@ -60,3 +60,45 @@ def test_infer_batch_dp_mesh(seg, rng):
     agree = (np.asarray(batch[0].masks) == np.asarray(single.masks)
              ).mean()
     assert agree > 0.999, agree
+
+
+def test_infer_tags_per_instance(seg, rng):
+    """infer_tags: white-backed masked crops through the tagger, with
+    background-tag exclusion (reference animeinsseg:233-260)."""
+    from cartoonsegmentation_tpu.instances import Instances
+    import jax.numpy as jnp
+
+    img = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+    ins = Instances.empty(3, 80, 100)
+    masks = np.zeros((3, 80, 100), bool)
+    masks[0, 10:40, 10:50] = True
+    masks[1, 50:75, 60:95] = True
+    ins = ins.replace(
+        masks=jnp.asarray(masks),
+        bboxes=jnp.asarray([[10, 10, 40, 30], [60, 50, 35, 25],
+                            [0, 0, 0, 0]], jnp.float32),
+        valid=jnp.asarray([True, True, False]))
+
+    calls = []
+
+    class FakeTagger:
+        def label_cv2_bgr(self, crop):
+            calls.append(crop.copy())
+            return (['white_background', '1girl', 'solo'],
+                    ['some_chara'])
+
+    seg.tagger = FakeTagger()
+    tags, ctags = seg.infer_tags(ins, img)
+    assert tags == ['1girl solo', '1girl solo']
+    assert ctags == [['some_chara'], ['some_chara']]
+    assert len(calls) == 2                       # invalid slot skipped
+    assert calls[0].shape == (30, 40, 3)
+    # pixels outside the mask are whited out
+    m0 = masks[0, 10:40, 10:50]
+    assert (calls[0][~m0] == 255).all()
+    assert (calls[0][m0] == img[10:40, 10:50][m0]).all()
+
+    # grey mode: crop is 3-channel replicated luma
+    tags, _ = seg.infer_tags(ins, img, infer_grey=True)
+    g = calls[-1]
+    assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
