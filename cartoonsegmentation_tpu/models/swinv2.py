@@ -271,6 +271,15 @@ class SwinV2(nn.Module):
         return nn.Dense(self.num_classes, name='head')(feats)
 
 
+def wd_tagger_swinv2(num_classes: int = 9083) -> "SwinV2":
+    """SwinV2-Base geometry used by the WD taggers (448 px input,
+    patch 4, window 8 — stage grids 112/56/28/14, the last padded to
+    16 for windowing)."""
+    return SwinV2(num_classes=num_classes, embed_dim=128,
+                  depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                  window=8)
+
+
 # ---------------------------------------------------------------------------
 # timm checkpoint converter
 # ---------------------------------------------------------------------------

@@ -267,3 +267,21 @@ def test_tagger_flax_backend(rng, tmp_path):
     want = 1.0 / (1.0 + np.exp(-torch_full(x, sd)))[0]
     got = np.asarray(t._fwd(t._variables, x))[0]
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_wd_base_config_shapes():
+    """Production WD geometry (448 input, window 8): abstract eval
+    only — guards the stage-grid padding path (14 -> 16) and the
+    parameter structure at full scale without running the compute."""
+    from cartoonsegmentation_tpu.models.swinv2 import wd_tagger_swinv2
+
+    model = wd_tagger_swinv2(num_classes=123)
+    img = jnp.zeros((1, 448, 448, 3), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), img))
+    out = jax.eval_shape(
+        lambda v: model.apply(v, img), variables)
+    assert out.shape == (1, 123)
+    n_params = sum(int(np.prod(x.shape)) for x in
+                   jax.tree_util.tree_leaves(variables['params']))
+    assert 80e6 < n_params < 120e6        # SwinV2-B ≈ 87M + head
