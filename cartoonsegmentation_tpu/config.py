@@ -64,7 +64,9 @@ class KenBurnsConfig:
     crop_ratio: float = 0.97
 
     # --- depth of field ---
-    depth_field: bool = False
+    # reference default is True (configs/3dkenburns.yaml:16 and the
+    # KenBurnsConfig dataclass in kenburns_effect.py)
+    depth_field: bool = True
     dof_speed: float = 50.0
     depth_factor: int = 1
     lightness_factor: int = 13

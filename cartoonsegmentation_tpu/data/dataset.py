@@ -178,10 +178,14 @@ class MixedDetDataset:
         masks[:n] = s['masks'][:n]
         ignore[:n] = s['ignore'][:n]
         valid[:n] = True
+        # Reference semantics (rtmdet_inshead_custom.py:186-248):
+        # bbox-only (``ignore_mask``) instances DO supervise cls/bbox —
+        # they stay in gt_valid; only the mask loss skips them (the
+        # train step reads gt_ignore for that).
         return {
             'images': s['image'].astype(np.float32) / 255.0,
             'gt_boxes': boxes, 'gt_masks': masks,
-            'gt_valid': valid & ~ignore, 'gt_ignore': ignore,
+            'gt_valid': valid, 'gt_ignore': ignore,
         }
 
     def batches(self, batch_size: int, steps: int):

@@ -137,6 +137,7 @@ def convert_rtmdet(sd: Mapping, deepen: float = 1.0,
 
     # --- mask feat module ----------------------------------------------
     M = ('mask_head',)
+    c.plain_conv('bbox_head.mask_head.fusion_conv', M + ('fusion_conv',))
     for i in range(4):
         c.convmod(f'bbox_head.mask_head.stacked_convs.{i}',
                   M + (f'conv{i}',))

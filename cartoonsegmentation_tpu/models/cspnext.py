@@ -134,7 +134,9 @@ class CSPNeXt(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.widen
-        stem0 = int(_ARCH_P5[0][0] * w // 2)
+        # mmdet CSPNeXt stem: 3 → int(64*w//2) → int(64*w//2) →
+        # int(64*w)  (64 = stage-1 in_channels of the P5 arch table)
+        stem0 = int(64 * w // 2)
         x = ConvBNAct(stem0, 3, 2, dtype=self.dtype, name='stem0')(x)
         x = ConvBNAct(stem0, 3, 1, dtype=self.dtype, name='stem1')(x)
         x = ConvBNAct(int(64 * w), 3, 1, dtype=self.dtype, name='stem2')(x)

@@ -232,6 +232,26 @@ class Inpaint(nn.Module):
         self.net_disparity = Basic('conv-relu-conv', (32, 32, 1),
                                    name='net_disparity')
 
+    def context(self, imgN, dispN):
+        """Context feature convs (netContext, :86-92)."""
+        ctx = self.context_prelu0(self.context0(
+            jnp.concatenate([imgN, dispN], -1)))
+        return self.context_prelu1(self.context1(ctx))
+
+    def unet(self, render, existing):
+        """Grid U-net over the (gated) render; returns raw
+        (image, disparity) heads BEFORE de-normalization
+        (pointcloud_inpainting.py:141-188)."""
+        col0 = self.net_input(jnp.concatenate([render, existing], -1))
+        cols = [col0]
+        for r in range(3):
+            cols.append(self.downs[0][r](cols[r]))
+
+        cols = _col_down(cols, [b[0] for b in self.basics], self.downs[1])
+        cols = _col_up(cols, [b[1] for b in self.basics], self.ups[0])
+        cols = _col_up(cols, [b[2] for b in self.basics], self.ups[1])
+        return self.net_image(cols[0]), self.net_disparity(cols[0])
+
     def __call__(self, image_bgr, disparity, shift, focal, baseline,
                  segmasks: Optional[jnp.ndarray] = None,
                  deterministic: bool = True):
@@ -244,9 +264,7 @@ class Inpaint(nn.Module):
         imgN, imean, istd = normalize_mean_std(image_bgr)
         dispN, dmean, dstd = normalize_mean_std(disparity)
 
-        ctx = self.context_prelu0(self.context0(
-            jnp.concatenate([imgN, dispN], -1)))
-        ctx = self.context_prelu1(self.context1(ctx))
+        ctx = self.context(imgN, dispN)
 
         payload = jnp.concatenate([imgN, dispN, ctx], -1)  # 68ch
         render, existing = render_pointcloud(
@@ -265,17 +283,10 @@ class Inpaint(nn.Module):
         existing = existing * median_filter(existing, 5)
         render = render * existing
 
-        col0 = self.net_input(jnp.concatenate([render, existing], -1))
-        cols = [col0]
-        for r in range(3):
-            cols.append(self.downs[0][r](cols[r]))
+        image_raw, disp_raw = self.unet(render, existing)
 
-        cols = _col_down(cols, [b[0] for b in self.basics], self.downs[1])
-        cols = _col_up(cols, [b[1] for b in self.basics], self.ups[0])
-        cols = _col_up(cols, [b[2] for b in self.basics], self.ups[1])
-
-        image = self.net_image(cols[0]) * (istd + 1e-7) + imean
-        disp_out = self.net_disparity(cols[0]) * (dstd + 1e-7) + dmean
+        image = image_raw * (istd + 1e-7) + imean
+        disp_out = disp_raw * (dstd + 1e-7) + dmean
         if deterministic:
             image = jnp.clip(image, 0.0, 1.0)
         return {

@@ -53,6 +53,10 @@ class MaskFeatModule(nn.Module):
             fused.append(jax.image.resize(
                 f, f.shape[:-3] + (h0, w0, f.shape[-1]), method='linear'))
         x = jnp.concatenate(fused, -1)
+        # mmdet MaskFeatModule.fusion_conv: plain 1x1 conv (bias, no
+        # BN/act) mapping num_levels*C back to C before the conv stack
+        x = nn.Conv(feats[0].shape[-1], (1, 1), use_bias=True,
+                    dtype=self.dtype, name='fusion_conv')(x)
         for i in range(self.stacked_convs):
             x = ConvBNAct(self.feat_channels, 3, dtype=self.dtype,
                           name=f'conv{i}')(x)

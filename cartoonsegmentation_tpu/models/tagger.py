@@ -65,7 +65,9 @@ class Tagger:
     def __init__(self, model_path: str = '', backend: str = 'auto',
                  general_thr: float = 0.5, character_thr: float = 0.5,
                  input_size: int = 448,
-                 swin_kwargs: Optional[dict] = None, seed: int = 0):
+                 swin_kwargs: Optional[dict] = None, seed: int = 0,
+                 strict: bool = False):
+        self.strict = strict
         self.general_thr = general_thr
         self.character_thr = character_thr
         self.input_size = input_size
@@ -112,6 +114,11 @@ class Tagger:
                     load_torch_ckpt(model_path),
                     depths=self._net.depths)
             else:
+                if self.strict:
+                    raise RuntimeError(
+                        'Tagger(strict=True): flax backend has no '
+                        'checkpoint to load — random weights would '
+                        'fabricate tags.')
                 LOGGER.warning('Tagger: RANDOM SwinV2 init '
                                '(no checkpoint)')
                 import jax
@@ -126,6 +133,12 @@ class Tagger:
             self.backend = 'flax'
             return
 
+        if self.strict:
+            raise RuntimeError(
+                'Tagger(strict=True): no usable model backend — '
+                f'model_path={model_path!r}, backend={backend!r}. '
+                'The deterministic stub would fabricate tags; pass '
+                'strict=False only for plumbing tests.')
         self.backend = 'stub'
         LOGGER.warning('Tagger: using deterministic stub backend '
                        '(no model available)')

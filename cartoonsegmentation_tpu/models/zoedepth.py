@@ -185,13 +185,61 @@ class ZoeDepth(nn.Module):
         return {'metric_depth': depth, 'rel_depth': rel_depth}
 
 
-def infer_zoe(model: ZoeDepth, variables, rgb01: jnp.ndarray,
-              with_flip_aug: bool = True) -> jnp.ndarray:
-    """Flip-TTA inference (depth_model.py:85-113): average of normal
-    and horizontally flipped predictions, resized to input size."""
+def pad_tta_amounts(h: int, w: int, fh: float = 3.0,
+                    fw: float = 3.0) -> Tuple[int, int]:
+    """Reflect-pad sizes of the reference's padding augmentation
+    (depth_model.py:57-96): pad_h = int(sqrt(h/2)*fh),
+    pad_w = int(sqrt(w/2)*fw)."""
+    import math
+    return int(math.sqrt(h / 2) * fh), int(math.sqrt(w / 2) * fw)
+
+
+def _infer_pad_aug(model: ZoeDepth, variables, rgb01: jnp.ndarray,
+                   pad_input: bool) -> jnp.ndarray:
+    """Single padded forward (depth_model.py:57-96): reflect-pad,
+    infer, bicubic-resize the prediction up to the padded input size,
+    crop the padding back off.
+
+    The BEiT grid is static (model.img_size), so — like the
+    reference's midas core, whose internal Resize transform maps the
+    padded image to the network resolution
+    (base_models/midas.py Resize, cv2.INTER_CUBIC) — the padded image
+    is resized to the model grid for the forward pass and the
+    prediction is resized back to the padded size before cropping."""
     H, W = rgb01.shape[-3], rgb01.shape[-2]
-    out = model.apply(variables, rgb01)['metric_depth']
+    x = rgb01
+    pad_h = pad_w = 0
+    if pad_input:
+        pad_h, pad_w = pad_tta_amounts(H, W)
+        pads = [(0, 0)] * (x.ndim - 3) + \
+            [(pad_h, pad_h), (pad_w, pad_w), (0, 0)]
+        x = jnp.pad(x, pads, mode='reflect')
+    ph, pw = x.shape[-3], x.shape[-2]
+    mh, mw = model.img_size
+    if (ph, pw) != (mh, mw):
+        x = jax.image.resize(x, x.shape[:-3] + (mh, mw, x.shape[-1]),
+                             method='cubic')
+    out = model.apply(variables, x)['metric_depth']
+    if out.shape[-3] != ph or out.shape[-2] != pw:
+        # reference: F.interpolate(mode='bicubic', align_corners=False)
+        out = jax.image.resize(out, out.shape[:-3] + (ph, pw, 1),
+                               method='cubic')
+    if pad_h > 0:
+        out = out[..., pad_h:-pad_h, :, :]
+    if pad_w > 0:
+        out = out[..., :, pad_w:-pad_w, :]
+    return out
+
+
+def infer_zoe(model: ZoeDepth, variables, rgb01: jnp.ndarray,
+              with_flip_aug: bool = True,
+              pad_input: bool = True) -> jnp.ndarray:
+    """Reference-default inference (depth_model.py:57-128): reflect
+    pad augmentation (``pad_input=True`` is the reference default) +
+    horizontal-flip TTA, averaged, at input resolution."""
+    out = _infer_pad_aug(model, variables, rgb01, pad_input)
     if with_flip_aug:
-        out_f = model.apply(variables, rgb01[..., ::-1, :])['metric_depth']
+        out_f = _infer_pad_aug(model, variables, rgb01[..., ::-1, :],
+                               pad_input)
         out = 0.5 * (out + out_f[..., ::-1, :])
-    return resize_bilinear_ac(out, H, W)
+    return out

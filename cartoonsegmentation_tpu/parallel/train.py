@@ -87,8 +87,17 @@ def _assign_targets(priors, strides, gt_boxes, gt_valid):
 def detector_loss(model: AnimeDetector, params, batch_stats, batch,
                   mask_loss_stride: int = 4, assigner: str = 'dsla'):
     """batch: images (B,H,W,3), gt_boxes (B,G,4) xyxy, gt_valid (B,G),
-    gt_masks (B,G,H,W)."""
+    gt_masks (B,G,H,W), optional gt_ignore (B,G).
+
+    Ignore-mask semantics (reference rtmdet_inshead_custom.py:186-248):
+    instances flagged ``gt_ignore`` (bbox-only annotations, e.g.
+    Manga109) participate fully in assignment / cls / bbox supervision
+    but are excluded from the mask loss term.
+    """
     images = batch['images']
+    gt_ignore = batch.get('gt_ignore')
+    if gt_ignore is None:
+        gt_ignore = jnp.zeros(batch['gt_valid'].shape, bool)
     H, W = images.shape[1:3]
     variables = {'params': params}
     if batch_stats:
@@ -97,7 +106,8 @@ def detector_loss(model: AnimeDetector, params, batch_stats, batch,
     scores, dists, kernels, priors, strides = _flatten_levels(
         cls_out, reg_out, krn_out, (H, W))
 
-    def per_image(score, dist, kern, mfeat, gt_boxes, gt_valid, gt_masks):
+    def per_image(score, dist, kern, mfeat, gt_boxes, gt_valid, gt_masks,
+                  gt_ign):
         boxes = distance2bbox(priors, dist)
         if assigner == 'dsla':
             pos, gt_idx, _ = dynamic_soft_label_assign(
@@ -124,11 +134,14 @@ def detector_loss(model: AnimeDetector, params, batch_stats, batch,
         giou = _giou(boxes, tgt_boxes)
         loss_box = jnp.sum(jnp.where(pos, 1.0 - giou, 0.0)) / n_pos
 
-        # mask loss on top-K positives (static K)
+        # mask loss on top-K positives (static K); positives assigned
+        # to ignore-mask gts supervise cls/bbox above but are excluded
+        # here (reference rtmdet_inshead_custom.py:204-218)
         K = 8
-        pos_score = jnp.where(pos, quality, -1.0)
+        mask_ok = pos & ~gt_ign[gt_idx]
+        pos_score = jnp.where(mask_ok, quality, -1.0)
         _, top = jax.lax.top_k(pos_score, K)
-        sel_valid = pos[top]
+        sel_valid = mask_ok[top]
         logits = dynamic_mask_heads(mfeat, kern[top], priors[top],
                                     strides[top])
         mh, mw = logits.shape[1:]
@@ -146,7 +159,7 @@ def detector_loss(model: AnimeDetector, params, batch_stats, batch,
 
     lc, lb, lm = jax.vmap(per_image)(
         scores, dists, kernels, mask_feat, batch['gt_boxes'],
-        batch['gt_valid'], batch['gt_masks'])
+        batch['gt_valid'], batch['gt_masks'], gt_ignore)
     loss = jnp.mean(lc) + 2.0 * jnp.mean(lb) + jnp.mean(lm)
     return loss, {'loss': loss, 'loss_cls': jnp.mean(lc),
                   'loss_bbox': jnp.mean(lb), 'loss_mask': jnp.mean(lm)}

@@ -75,10 +75,12 @@ class ISNetRefiner:
                     sides, _ = net.apply(variables, chunk_batch)
                     return jax.nn.sigmoid(sides[0][..., 0])
 
-                nchunks = max(N // chunk, 1)
+                c = min(chunk, N)
+                nchunks = -(-N // c)            # ceil: every slot runs
+                pad = nchunks * c - N
+                padded = jnp.pad(batch, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 preds = jax.lax.map(
-                    run, batch[:nchunks * chunk].reshape(
-                        nchunks, chunk, S, S, 4))
+                    run, padded.reshape(nchunks, c, S, S, 4))
                 preds = preds.reshape(-1, S, S)[:N]
                 preds = preds[:, :nh, :nw, None]
                 preds = resize_bilinear_ac(preds, H, W)[..., 0]
@@ -93,23 +95,71 @@ class ISNetRefiner:
         return instances.replace(masks=new_masks)
 
 
+def get_refine_net(net_name: str):
+    """Whole-image segmentation net registry — parity with the
+    reference's get_net (animeseg_refine/__init__.py:28-41): isnet /
+    isnet_is / isnet_gt / u2net (full2) / u2netl (lite2) / modnet.
+
+    Returns (flax module, fn(module, variables, rgb01_batch) ->
+    foreground probability (B, H, W))."""
+    if net_name in ('isnet', 'isnet_is'):
+        net = ISNetDIS(in_ch=3)
+
+        def run(net, variables, x):
+            sides, _ = net.apply(variables, x)
+            return jax.nn.sigmoid(sides[0][..., 0])
+        return net, run
+    if net_name == 'isnet_gt':
+        from ..models.u2net import ISNetGTEncoder
+        net = ISNetGTEncoder()
+
+        def run(net, variables, x):
+            sides = net.apply(variables, x)[0]
+            return jax.nn.sigmoid(sides[0][..., 0])
+        return net, run
+    if net_name in ('u2net', 'u2netl'):
+        from ..models.u2net import U2Net
+        net = U2Net(lite=(net_name == 'u2netl'))
+
+        def run(net, variables, x):
+            sides, _ = net.apply(variables, x)
+            return jax.nn.sigmoid(sides[0][..., 0])
+        return net, run
+    if net_name == 'modnet':
+        from ..models.modnet import MODNet
+        net = MODNet()
+
+        def run(net, variables, x):
+            # MODNet normalizes to [-1, 1] (reference inference
+            # transform) and predicts the matte directly
+            _, _, matte = net.apply(variables, x * 2.0 - 1.0)
+            return matte[..., 0]
+        return net, run
+    raise ValueError(f'unknown animeseg net: {net_name!r} (expected '
+                     "isnet/isnet_is/isnet_gt/u2net/u2netl/modnet)")
+
+
 class AnimeSegRefiner:
-    """'animeseg': whole-image ISNet (3ch) mask intersected with each
-    instance mask when the intersection keeps >30% of the area
-    (animeinsseg/__init__.py:78-117)."""
+    """'animeseg': whole-image segmentation-net mask intersected with
+    each instance mask when the intersection keeps >30% of the area
+    (animeinsseg/__init__.py:78-117). The backbone is selectable
+    through ``net_name`` like the reference's get_net
+    (animeseg_refine/__init__.py:28-41)."""
 
     def __init__(self, input_size: int = 1024, seg_thr: float = 0.5,
-                 seed: int = 0):
+                 seed: int = 0, net_name: str = 'isnet_is'):
         self.input_size = input_size
         self.seg_thr = seg_thr
-        self.net = ISNetDIS(in_ch=3)
+        self.net_name = net_name
+        self.net, self._run = get_refine_net(net_name)
         self._variables = None
         self._seed = seed
         self._jit_cache = {}
 
     def _vars(self):
         if self._variables is None:
-            LOGGER.warning('AnimeSegRefiner: RANDOM init (no checkpoint)')
+            LOGGER.warning('AnimeSegRefiner(%s): RANDOM init '
+                           '(no checkpoint)', self.net_name)
             self._variables = self.net.init(
                 jax.random.PRNGKey(self._seed),
                 jnp.zeros((1, 64, 64, 3), jnp.float32))
@@ -117,6 +167,10 @@ class AnimeSegRefiner:
 
     def load_torch_checkpoint(self, path: str) -> None:
         from ..models.convert import load_torch_ckpt
+        if not self.net_name.startswith('isnet') or \
+                self.net_name == 'isnet_gt':
+            raise NotImplementedError(
+                f'no torch converter wired for {self.net_name} yet')
         self._variables = convert_isnet(load_torch_ckpt(path))
 
     def __call__(self, instances: Instances, img_bgr: np.ndarray
@@ -128,14 +182,13 @@ class AnimeSegRefiner:
         nh, nw = scaledown_size(H, W, S)
         key = (instances.capacity, S, H, W)
         if key not in self._jit_cache:
-            net, thr = self.net, self.seg_thr
+            net, thr, run = self.net, self.seg_thr, self._run
 
             @jax.jit
             def fn(variables, image_small, masks, valid):
                 img = jnp.pad(image_small,
                               ((0, S - nh), (0, S - nw), (0, 0)))
-                sides, _ = net.apply(variables, img[None])
-                pred = jax.nn.sigmoid(sides[0][0, :nh, :nw, 0])
+                pred = run(net, variables, img[None])[0, :nh, :nw]
                 pred = resize_bilinear_ac(pred[..., None][None],
                                           H, W)[0, ..., 0]
                 whole = pred > thr
@@ -158,10 +211,22 @@ class AnimeSegRefiner:
 
 def make_refiner(method: str = 'refinenet_isnet', refine_size: int = 720,
                  mask_thr: float = 0.3) -> Optional[object]:
+    """Refine-method factory. Accepts the reference's
+    set_refine_method names (animeinsseg/__init__.py:623-636:
+    'none' / 'refinenet_isnet' / 'animeseg') plus the whole-image net
+    variants of get_net (animeseg_refine/__init__.py:28-41), either
+    bare ('u2net', 'u2netl', 'modnet', 'isnet', 'isnet_is',
+    'isnet_gt') or as 'animeseg:<net>'."""
     if method in (None, 'none', ''):
         return None
     if method == 'refinenet_isnet':
         return ISNetRefiner(refine_size, mask_thr)
     if method == 'animeseg':
         return AnimeSegRefiner(max(refine_size, 1024))
+    if method.startswith('animeseg:'):
+        return AnimeSegRefiner(max(refine_size, 1024),
+                               net_name=method.split(':', 1)[1])
+    if method in ('isnet', 'isnet_is', 'isnet_gt', 'u2net', 'u2netl',
+                  'modnet'):
+        return AnimeSegRefiner(max(refine_size, 1024), net_name=method)
     raise ValueError(f'unknown refine method: {method}')

@@ -26,6 +26,13 @@ def main():
     ap.add_argument('--save_dir', default='repaint_output')
     ap.add_argument('--cache_masks_dir', default='workspace/style_cache')
     ap.add_argument('--detector_ckpt', default='')
+    ap.add_argument('--tagger_ckpt', default='',
+                    help='Danbooru tagger checkpoint (onnx or torch); '
+                         'when given, instance crops are tagged to '
+                         'build the repaint prompts')
+    ap.add_argument('--allow-stub-tagger', action='store_true',
+                    help='permit the deterministic stub tagger '
+                         '(fabricated tags) when no model is available')
     ap.add_argument('--random_seed', action='store_true')
     args = ap.parse_args()
 
@@ -50,7 +57,15 @@ def main():
         sd_params={'steps': args.steps, 'cfg_scale': args.cfg_scale,
                    'sampler_name': args.sample_name, 'seed': 0,
                    'alwayson_scripts': {'controlnet': {'args': [{}]}}})
-    editor = StyleEditor(cfg, detector=detector, tagger=None)
+    tagger = None
+    if args.tagger_ckpt or args.allow_stub_tagger:
+        from cartoonsegmentation_tpu.models.tagger import Tagger
+        # strict by default for the CLI path (ADVICE r1): fabricated
+        # stub tags must be opted into explicitly
+        t = Tagger(args.tagger_ckpt,
+                   strict=not args.allow_stub_tagger)
+        tagger = t.label_cv2_bgr
+    editor = StyleEditor(cfg, detector=detector, tagger=tagger)
 
     if osp.isdir(args.img_path):
         import os

@@ -123,6 +123,102 @@ def test_inpaint_converter_structure():
            jnp.zeros((3,)), 16.0, 40.0)
 
 
+def test_disparity_converter_full_numeric(rng):
+    """Full-forward numeric validation of convert_disparity +
+    convert_semantics via the checkpoint-schema torch twins
+    (torch_twins.TorchDisparity / TorchSemanticsVGG)."""
+    import torch
+    from torch_twins import TorchDisparity, TorchSemanticsVGG, randomize_
+    from cartoonsegmentation_tpu.models.kenburns import Semantics
+
+    tsem = randomize_(TorchSemanticsVGG(), seed=2).eval()
+    tdisp = randomize_(TorchDisparity(), seed=3).eval()
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        tfeat = tsem(torch.from_numpy(x))
+        tout = tdisp(torch.from_numpy(x), tfeat)
+
+    sem_params, sem_stats = C.convert_semantics(tsem.state_dict())
+    jfeat = Semantics().apply(
+        {'params': sem_params, 'batch_stats': sem_stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # deep conv/BN chain in f32: accumulation-order noise up to ~1e-3
+    np.testing.assert_allclose(np.asarray(jfeat),
+                               tfeat.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-3, atol=2e-3)
+
+    jout = Disparity().apply(
+        {'params': C.convert_disparity(tdisp.state_dict())},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), jfeat)
+    np.testing.assert_allclose(np.asarray(jout),
+                               tout.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_refine_converter_full_numeric(rng):
+    import torch
+    from torch_twins import TorchRefine, randomize_
+
+    tm = randomize_(TorchRefine(), seed=4).eval()
+    img = rng.rand(1, 3, 48, 64).astype(np.float32)
+    disp = rng.rand(1, 1, 12, 16).astype(np.float32)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(img), torch.from_numpy(disp))
+
+    jout = Refine().apply(
+        {'params': C.convert_refine(tm.state_dict())},
+        jnp.asarray(img.transpose(0, 2, 3, 1)),
+        jnp.asarray(disp.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jout),
+                               tout.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_inpaint_converter_full_numeric(rng):
+    """Validates every tensor convert_inpaint produces: the context
+    convs and the post-render grid U-net are driven with identical
+    inputs in torch and flax (the splat render itself is covered by
+    tests/test_ops_pointcloud.py oracles)."""
+    import torch
+    from torch_twins import TorchInpaintUNet, randomize_
+
+    # small weight scale: the residual grid doubles activations per
+    # row, and f32 noise at exploded magnitudes breaks comparison
+    tm = randomize_(TorchInpaintUNet(), seed=5, scale=0.05).eval()
+    params = C.convert_inpaint(tm.state_dict())
+    model = Inpaint()
+
+    imgN = rng.randn(1, 3, 32, 32).astype(np.float32)
+    dispN = rng.randn(1, 1, 32, 32).astype(np.float32)
+    render = rng.randn(1, 68, 32, 32).astype(np.float32)
+    existing = (rng.rand(1, 1, 32, 32) > 0.3).astype(np.float32)
+
+    with torch.no_grad():
+        tctx = tm.context(torch.from_numpy(imgN), torch.from_numpy(dispN))
+        timg, tdisp = tm(torch.from_numpy(render),
+                         torch.from_numpy(existing))
+
+    jctx = model.apply({'params': params},
+                       jnp.asarray(imgN.transpose(0, 2, 3, 1)),
+                       jnp.asarray(dispN.transpose(0, 2, 3, 1)),
+                       method=Inpaint.context)
+    np.testing.assert_allclose(np.asarray(jctx),
+                               tctx.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
+
+    jimg, jdisp = model.apply({'params': params},
+                              jnp.asarray(render.transpose(0, 2, 3, 1)),
+                              jnp.asarray(existing.transpose(0, 2, 3, 1)),
+                              method=Inpaint.unet)
+    np.testing.assert_allclose(np.asarray(jimg),
+                               timg.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jdisp),
+                               tdisp.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_isnet_converter_structure():
     """Inverse-generate the torch manifest from the flax tree (ISNet
     names map 1:1) and round-trip through convert_isnet."""

@@ -69,3 +69,36 @@ def test_converter_structure_matches_model():
     # all fabricated reads are well-formed mmdet key names
     assert all(k.startswith(('backbone.', 'neck.', 'bbox_head.'))
                for k in sd.keys_seen)
+
+
+def test_rtmdet_converter_full_numeric(rng):
+    """Full-forward numeric validation: build the mmdet-schema torch
+    twin (torch_twins.TorchRTMDet), randomize, convert its state dict,
+    and assert the Flax AnimeDetector reproduces every head map and
+    the mask prototypes (catches transposed kernels / renamed layers
+    that the structure test cannot)."""
+    import torch
+    from torch_twins import TorchRTMDet, randomize_
+
+    deepen, widen = 0.33, 0.25
+    tm = randomize_(TorchRTMDet(deepen, widen), seed=1).eval()
+    converted = convert_rtmdet(tm.state_dict(), deepen, widen)
+
+    x = rng.rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        tcls, treg, tkrn, tmask = tm(torch.from_numpy(x))
+
+    model = AnimeDetector(deepen=deepen, widen=widen)
+    jcls, jreg, jkrn, jmask = model.apply(
+        converted, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    def chk(j, t, what):
+        np.testing.assert_allclose(
+            np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4, err_msg=what)
+
+    for lv in range(3):
+        chk(jcls[lv], tcls[lv], f'cls level {lv}')
+        chk(jreg[lv], treg[lv], f'reg level {lv}')
+        chk(jkrn[lv], tkrn[lv], f'kernel level {lv}')
+    chk(jmask, tmask, 'mask prototypes')

@@ -84,9 +84,56 @@ def test_mixed_dataset_and_train_batch(tiny_dataset):
     tx = optax.adamw(1e-3)
     state = create_train_state(model, jax.random.PRNGKey(0), (64, 64), tx)
     step = make_train_step(model, tx)
-    batch.pop('gt_ignore')
     state2, metrics = step(state, batch)
     assert np.isfinite(float(metrics['loss']))
+
+
+def test_ignore_mask_semantics(tiny_dataset):
+    """Reference rtmdet_inshead_custom.py:186-248: a bbox-only
+    (ignore_mask) instance supervises cls/bbox but NOT the mask loss.
+    Flipping an instance's ignore flag must change loss_cls/loss_bbox
+    behaviour like a real gt and must change loss_mask vs keeping it
+    mask-supervised."""
+    import jax
+    import jax.numpy as jnp
+    from cartoonsegmentation_tpu.models.rtmdet import AnimeDetector
+    from cartoonsegmentation_tpu.parallel.train import detector_loss
+
+    rng = np.random.RandomState(3)
+    model = AnimeDetector(deepen=0.33, widen=0.125)
+    images = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images)
+    params = variables['params']
+    bstats = variables.get('batch_stats', {})
+
+    gt_boxes = jnp.asarray([[[4., 4., 40., 40.], [20., 20., 60., 60.]]])
+    gt_masks = jnp.zeros((1, 2, 64, 64), jnp.float32)
+    gt_masks = gt_masks.at[0, 0, 4:40, 4:40].set(1.0)
+    gt_masks = gt_masks.at[0, 1, 20:60, 20:60].set(1.0)
+    gt_valid = jnp.asarray([[True, True]])
+
+    def losses(ignore, valid=gt_valid):
+        _, m = detector_loss(model, params, bstats, {
+            'images': images, 'gt_boxes': gt_boxes, 'gt_masks': gt_masks,
+            'gt_valid': valid, 'gt_ignore': jnp.asarray([ignore])})
+        return {k: float(v) for k, v in m.items()}
+
+    m_none = losses([False, False])
+    m_ign1 = losses([False, True])
+    m_ign_all = losses([True, True])
+    # dropping instance 1 entirely (the old broken behaviour)
+    m_drop1 = losses([False, False], valid=jnp.asarray([[True, False]]))
+
+    # ignored instances still supervise cls/bbox: identical to the
+    # fully-supervised case, different from dropping them
+    assert m_ign1['loss_cls'] == pytest.approx(m_none['loss_cls'])
+    assert m_ign1['loss_bbox'] == pytest.approx(m_none['loss_bbox'])
+    assert m_ign_all['loss_cls'] == pytest.approx(m_none['loss_cls'])
+    assert m_ign1['loss_cls'] != pytest.approx(m_drop1['loss_cls'])
+    # but they are excluded from the mask loss: ignoring every gt
+    # leaves no mask supervision at all
+    assert m_ign_all['loss_mask'] == pytest.approx(0.0, abs=1e-7)
+    assert m_none['loss_mask'] > 0.0
 
 
 def test_mask_refine_dataset(tiny_dataset):

@@ -71,6 +71,35 @@ def test_isnet_refiner_pipeline(rng):
     assert out2.masks.shape == (4, 40, 60)
 
 
+def test_make_refiner_all_methods(rng):
+    """Every reference refine variant is selectable (reference
+    set_refine_method names + get_net nets,
+    animeseg_refine/__init__.py:28-41) and runs on a tiny image."""
+    from cartoonsegmentation_tpu.pipeline.refine import make_refiner
+    import pytest
+
+    assert make_refiner('none') is None
+    img = (rng.rand(40, 60, 3) * 255).astype(np.uint8)
+    m = np.zeros((40, 60), bool)
+    m[10:30, 20:40] = True
+    ins = Instances.from_numpy(m[None], np.array([[20, 10, 20, 20]],
+                                                 np.float32), capacity=2)
+    for method in ('refinenet_isnet', 'animeseg', 'isnet', 'isnet_is',
+                   'isnet_gt', 'u2netl', 'modnet', 'animeseg:u2netl'):
+        ref = make_refiner(method, refine_size=64)
+        if isinstance(ref, AnimeSegRefiner):
+            ref.input_size = 64  # keep the test tiny
+            ref._jit_cache.clear()
+        out = ref(ins, img)
+        assert out.masks.shape == (2, 40, 60), method
+        assert int(out.count()) == 1, method
+
+    with pytest.raises(ValueError):
+        make_refiner('nope')
+    with pytest.raises(ValueError):
+        make_refiner('animeseg:nope')
+
+
 def test_modnet_forward_and_refiner(rng):
     from cartoonsegmentation_tpu.models.modnet import MODNet
     import jax

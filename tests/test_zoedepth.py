@@ -98,3 +98,59 @@ def test_zoedepth_forward_tiny(rng):
 
     tta = infer_zoe(model, variables, x)
     assert tta.shape == (1, 64, 64, 1)
+
+
+class _FakeZoe:
+    """Stub whose 'metric depth' is the input red channel at input
+    resolution — makes the pad/resize/crop arithmetic of
+    _infer_pad_aug exactly checkable."""
+
+    def __init__(self, img_size):
+        self.img_size = img_size
+
+    def apply(self, variables, x):
+        return {'metric_depth': x[..., :1]}
+
+
+def test_zoe_pad_tta(rng):
+    """Padding-augmentation arithmetic parity (depth_model.py:57-96):
+    pad_h = int(sqrt(h/2)*fh) reflect padding, bicubic resize back,
+    crop — verified against an explicit oracle composition."""
+    import math
+    from cartoonsegmentation_tpu.models.zoedepth import (_infer_pad_aug,
+                                                         pad_tta_amounts)
+
+    for (h, w) in [(384, 512), (64, 64), (576, 1024)]:
+        ph, pw = pad_tta_amounts(h, w)
+        assert ph == int(math.sqrt(h / 2) * 3)
+        assert pw == int(math.sqrt(w / 2) * 3)
+
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    # pad 16 each side -> 96x96; model grid == padded size, so with an
+    # identity depth stub the pad+crop must return the input exactly
+    assert pad_tta_amounts(64, 64) == (16, 16)
+    out = _infer_pad_aug(_FakeZoe((96, 96)), None, x, pad_input=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x[..., :1]),
+                               atol=1e-6)
+    # pad_input=False is a plain forward (after the grid resize)
+    out = _infer_pad_aug(_FakeZoe((64, 64)), None, x, pad_input=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x[..., :1]),
+                               atol=1e-6)
+
+    # model grid != padded size: oracle = crop(resize_back(
+    #   model(resize_to_grid(pad(x)))))  with cubic resizes
+    out = _infer_pad_aug(_FakeZoe((48, 48)), None, x, pad_input=True)
+    xp = jnp.pad(x, ((0, 0), (16, 16), (16, 16), (0, 0)), mode='reflect')
+    small = jax.image.resize(xp, (1, 48, 48, 3), method='cubic')
+    up = jax.image.resize(small[..., :1], (1, 96, 96, 1), method='cubic')
+    expected = up[:, 16:-16, 16:-16]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=1e-6)
+
+    # flip aug: average of the straight and mirrored pad-aug passes
+    fake = _FakeZoe((96, 96))
+    tta = infer_zoe(fake, None, x, with_flip_aug=True, pad_input=True)
+    a = _infer_pad_aug(fake, None, x, True)
+    b = _infer_pad_aug(fake, None, x[..., ::-1, :], True)[..., ::-1, :]
+    np.testing.assert_allclose(np.asarray(tta),
+                               np.asarray(0.5 * (a + b)), atol=1e-6)
