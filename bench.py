@@ -1,6 +1,6 @@
 """Benchmark: the Ken Burns hot loop (the reference's headline
 workload — configs/3dkenburns.yaml defaults: 75 frames @ max_size
-1024 per clip, run on one real TPU chip).
+1024 per clip, depth_field ON, run on one real TPU chip).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -8,6 +8,12 @@ Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md), so vs_baseline is
 the real-time factor against the 25 fps output video rate — the
 reference pipeline renders well below 1.0x on its shipped defaults.
+
+Timing discipline: every phase is reported compile-separated (one
+warm-up run first), and the headline render fps is the shipped
+default workload (depth_field=True, discfill fast mode, bf16 splat
+payload). A no-DoF fps is reported alongside for comparison with
+round-1 numbers.
 """
 from __future__ import annotations
 
@@ -21,7 +27,7 @@ def main() -> None:
     import cv2
     import jax
 
-    from cartoonsegmentation_tpu.config import KenBurnsConfig
+    from cartoonsegmentation_tpu.config import build_kenburns_cfg
     from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
 
     img = cv2.imread('/root/reference/examples/kenburns_lion.png')
@@ -29,76 +35,114 @@ def main() -> None:
         rng = np.random.RandomState(0)
         img = (rng.rand(768, 1024, 3) * 255).astype(np.uint8)
 
-    cfg = KenBurnsConfig(max_size=1024, num_frame=75, depth_field=False,
-                         depth_est='default', auto_zoom=True)
+    # the shipped default config (reference configs/3dkenburns.yaml:
+    # depth_field True, 75 frames, max_size 1024); depth net choice
+    # does not affect the render loop being measured
+    cfg = build_kenburns_cfg('configs/3dkenburns.yaml').replace(
+        max_size=1024, num_frame=75, depth_est='default',
+        auto_zoom=True)
+    assert cfg.depth_field, 'bench must run the shipped default'
     pipe = KenBurnsPipeline(cfg)
 
     state = pipe.generate_state(img)
     obj_from, obj_to = pipe.autozoom(state)
 
-    # inpaint passes (counted separately; the per-frame loop is the
-    # steady-state cost that scales with clip length)
-    t0 = time.time()
-    for t in (0.0, 1.0):
-        su, sv, ds, _, _ = pipe._camera_params(t, obj_from, obj_to, state)
-        state = pipe.inpaint_pass(state, su, sv, ds)
-    jax.block_until_ready(state.cloud.points)
-    inpaint_s = time.time() - t0
-    state = pipe.compact_state(state)
+    # inpaint passes: compile (first call) vs steady state (re-run on
+    # a fresh state built from a perturbed image so the runtime cannot
+    # memoize identical inputs)
+    def run_inpaint(st):
+        t0 = time.time()
+        for t in (0.0, 1.0):
+            su, sv, ds, _, _ = pipe._camera_params(t, obj_from, obj_to,
+                                                   st)
+            st = pipe.inpaint_pass(st, su, sv, ds)
+        jax.block_until_ready(st.cloud.points)
+        return st, time.time() - t0
+
+    state1, inpaint_compile_s = run_inpaint(state)
+    img2 = cv2.convertScaleAbs(img, alpha=0.999)
+    state2 = pipe.generate_state(img2)
+    state2, inpaint_steady_s = run_inpaint(state2)
+    state = pipe.compact_state(state1)
 
     steps = np.linspace(0.0, 1.0, cfg.num_frame)
-    # warmup (compile)
-    frames = pipe.render_frames(state, obj_from, obj_to, steps,
-                                return_device=True)
-    jax.block_until_ready(frames)
-    t0 = time.time()
-    frames = pipe.render_frames(state, obj_from, obj_to, steps,
-                                return_device=True)
-    jax.block_until_ready(frames)
-    dt = time.time() - t0
+
+    def bench_render(depth_field):
+        # warmup/compile
+        frames = pipe.render_frames(state, obj_from, obj_to, steps,
+                                    depth_field=depth_field,
+                                    return_device=True)
+        jax.block_until_ready(frames)
+        best = np.inf
+        for i in range(2):
+            o2 = dict(obj_from)
+            o2['center_u'] = obj_from['center_u'] + 0.01 * (i + 1)
+            t0 = time.time()
+            frames = pipe.render_frames(state, o2, obj_to, steps,
+                                        depth_field=depth_field,
+                                        return_device=True)
+            jax.block_until_ready(frames)
+            best = min(best, time.time() - t0)
+        return frames, best
+
+    frames_nodof, dt_nodof = bench_render(False)
+    frames, dt = bench_render(True)
     fps = cfg.num_frame / dt
 
     t0 = time.time()
     host = np.asarray(jax.device_get(frames))
     transfer_s = time.time() - t0
 
-    # secondary: detector forward+postprocess throughput at 640
-    # (scan-chained so tunnel dispatch latency doesn't pollute it)
+    # secondary: detector forward+postprocess throughput at 640 in
+    # f32 AND bf16 (scan-chained so tunnel dispatch latency doesn't
+    # pollute it), with a bf16-vs-f32 head agreement check
     import jax.numpy as jnp
     from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
-    seg = AnimeInsSeg(det_size=640)
-    x, _, _ = seg._preprocess(img)
-    variables = seg._ensure_variables()
 
-    @jax.jit
-    def det_scan(variables, x0):
-        def step(x, _):
-            out = seg.model.apply(variables, x)
-            # chain: derive next input from this forward's output
-            delta = out[3].mean() * 0.0
-            return x + delta, out[0][0].mean()
-        _, outs = jax.lax.scan(step, x0, None, length=8)
-        return outs
+    def det_bench(dtype):
+        seg = AnimeInsSeg(det_size=640, dtype=dtype)
+        x, _, _ = seg._preprocess(img)
+        variables = seg._ensure_variables()
 
-    outs = det_scan(variables, jnp.asarray(x))
-    jax.block_until_ready(outs)
-    t0 = time.time()
-    outs = det_scan(variables, jnp.asarray(x) * 1.0001)
-    jax.block_until_ready(outs)
-    det_fps = 8 / (time.time() - t0)
+        @jax.jit
+        def det_scan(variables, x0):
+            def step(x, _):
+                out = seg.model.apply(variables, x)
+                delta = out[3].mean() * 0.0
+                return x + delta, out[0][0].mean()
+            _, outs = jax.lax.scan(step, x0, None, length=8)
+            return outs
+
+        outs = det_scan(variables, jnp.asarray(x))
+        jax.block_until_ready(outs)
+        t0 = time.time()
+        outs = det_scan(variables, jnp.asarray(x) * 1.0001)
+        jax.block_until_ready(outs)
+        return 8 / (time.time() - t0)
+
+    det_fps_f32 = det_bench(None)
+    try:
+        det_fps_bf16 = det_bench('bfloat16')
+    except Exception:
+        det_fps_bf16 = None
 
     result = {
-        'metric': 'kenburns_render_fps_1024',
+        'metric': 'kenburns_render_fps_1024_default',
         'value': round(fps, 3),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 25.0, 3),
         'extra': {
             'frame_shape': list(host.shape),
-            'inpaint_passes_s': round(inpaint_s, 3),
+            'depth_field': True,
+            'render_fps_no_dof': round(cfg.num_frame / dt_nodof, 3),
+            'inpaint_passes_compile_s': round(inpaint_compile_s, 3),
+            'inpaint_passes_steady_s': round(inpaint_steady_s, 3),
             'render_s_total': round(dt, 3),
             'host_transfer_s': round(transfer_s, 3),
             'device': str(jax.devices()[0]),
-            'detector_fwd_fps_640': round(det_fps, 2),
+            'detector_fwd_fps_640_f32': round(det_fps_f32, 2),
+            'detector_fwd_fps_640_bf16':
+                round(det_fps_bf16, 2) if det_fps_bf16 else None,
         },
     }
     print(json.dumps(result))

@@ -45,7 +45,7 @@ class KenBurnsConfig:
     refine_size: int = 720
 
     # --- depth ---
-    depth_est: str = 'leres'                # leres | zoe | default | marigold
+    depth_est: str = 'leres'                # leres | leres_boost | zoe | default | marigold
     depth_est_size: int = 640
     depthest_use_medium: bool = False
     default_depth_refine: bool = False      # run the Refine net

@@ -56,7 +56,11 @@ def convert_zoedepth(sd: Dict, img_size: Tuple[int, int] = (384, 512)
         return _np(v).transpose(2, 3, 1, 0)
 
     def deconv_w(v):
-        return _np(v).transpose(2, 3, 0, 1)
+        # torch ConvTranspose2d ≡ flax ConvTranspose(transpose_kernel=
+        # False) with the kernel flipped spatially and laid out
+        # (kh, kw, in, out) — verified numerically against torch
+        # (without the flip the k4s4 resample is wrong by O(1)).
+        return _np(v)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
 
     def lin_w(v):
         return _np(v).T

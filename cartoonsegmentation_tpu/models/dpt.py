@@ -59,23 +59,33 @@ class FeatureFusion(nn.Module):
 
 
 class DPTBeit(nn.Module):
-    """Full MiDaS DPT-BEiT-L graph → (rel_depth, hook feature dict)."""
+    """Full MiDaS DPT-BEiT-L graph → (rel_depth, hook feature dict).
+
+    dim/depth/num_heads/hooks parameterize the BEiT core so reduced-
+    geometry torch-twin tests can run the complete graph; defaults are
+    the shipped DPT_BEiT_L_384."""
     img_size: Tuple[int, int] = (384, 384)
     features: int = 256
     out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
+    dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    hooks: Tuple[int, ...] = (5, 11, 17, 23)
 
     @nn.compact
     def __call__(self, x):
         B, H, W, _ = x.shape
         gh, gw = H // 16, W // 16
-        tokens = BeitBackbone(img_size=self.img_size,
-                              name='backbone')(x)
+        tokens = BeitBackbone(img_size=self.img_size, dim=self.dim,
+                              depth=self.depth,
+                              num_heads=self.num_heads,
+                              hooks=self.hooks, name='backbone')(x)
 
         # readout + reshape to grids + per-level resampling
         levels = []
         for i, t in enumerate(tokens):
-            h = ReadoutProject(1024, name=f'readout{i}')(t)
-            h = h.reshape(B, gh, gw, 1024)
+            h = ReadoutProject(self.dim, name=f'readout{i}')(t)
+            h = h.reshape(B, gh, gw, self.dim)
             h = nn.Conv(self.out_channels[i], (1, 1),
                         name=f'proj{i}')(h)
             if i == 0:

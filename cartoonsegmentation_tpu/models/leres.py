@@ -147,13 +147,17 @@ _IMAGENET_STD = (0.229, 0.224, 0.225)
 class LeReS(nn.Module):
     """Full RelDepthModel forward. Input: RGB float in [0,1]
     (estimateleres converts BGR→RGB and ImageNet-normalizes —
-    depthmap.py:16-46; normalization is applied here)."""
+    depthmap.py:16-46; normalization is applied here).
+
+    ``encoder_layers`` shrinks the ResNeXt trunk for twin tests;
+    the default is the shipped resnext101_32x8d."""
+    encoder_layers: Tuple[int, ...] = (3, 4, 23, 3)
 
     @nn.compact
     def __call__(self, rgb01):
         x = (rgb01 - jnp.asarray(_IMAGENET_MEAN, rgb01.dtype)) \
             / jnp.asarray(_IMAGENET_STD, rgb01.dtype)
-        feats = ResNeXt101(name='encoder')(x)
+        feats = ResNeXt101(self.encoder_layers, name='encoder')(x)
         return LeReSDecoder(name='decoder')(feats)
 
 

@@ -144,14 +144,29 @@ class ZoeDepth(nn.Module):
     max_temp: float = 50.0
     min_depth: float = 1e-3
     max_depth: float = 10.0
+    # DPT/BEiT core geometry (reduced in twin tests)
+    core_features: int = 256
+    core_out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
+    core_dim: int = 1024
+    core_depth: int = 24
+    core_heads: int = 16
+    core_hooks: Tuple[int, ...] = (5, 11, 17, 23)
+    btlnck_features: int = 256
 
     @nn.compact
     def __call__(self, rgb01):
         x = (rgb01 - 0.5) / 0.5                        # MiDaS norm
         rel_depth, hooks = DPTBeit(img_size=self.img_size,
+                                   features=self.core_features,
+                                   out_channels=self.core_out_channels,
+                                   dim=self.core_dim,
+                                   depth=self.core_depth,
+                                   num_heads=self.core_heads,
+                                   hooks=self.core_hooks,
                                    name='core')(x)
 
-        btlnck = nn.Conv(256, (1, 1), name='conv2')(hooks['l4_rn'])
+        btlnck = nn.Conv(self.btlnck_features, (1, 1),
+                         name='conv2')(hooks['l4_rn'])
         _, seed_centers = SeedBinRegressorUnnormed(
             self.n_bins, name='seed_bin_regressor')(btlnck)
         b_prev = seed_centers

@@ -60,6 +60,10 @@ class KenBurnsPipeline:
         # tmp_stage_* dumps, run_kenburns.py:25-39 — its de-facto
         # regression mechanism)
         self.stages: Dict[str, np.ndarray] = {}
+        # per-stage wall timings (SURVEY §5.1 profiling subsystem);
+        # print with `pipe.timer.report()` or run_kenburns --profile
+        from ..utils.profiling import StageTimer
+        self.timer = StageTimer()
 
     # -- weights -------------------------------------------------------
     def _vars(self, which: str):
@@ -157,7 +161,8 @@ class KenBurnsPipeline:
         cfg = self.cfg
 
         if instances is None and self._detector is not None:
-            instances = self._detector.infer(img, cfg.pred_score_thr)
+            with self.timer.time('detector'):
+                instances = self._detector.infer(img, cfg.pred_score_thr)
 
         img = scaledown_maxsize(img, cfg.max_size)
         H, W = img.shape[:2]
@@ -168,27 +173,34 @@ class KenBurnsPipeline:
 
         image = jnp.asarray(img.astype(np.float32) / 255.0)
 
-        disparity_raw = self._estimate_disparity(image)
-        self._stage_depth('depth_coarse', disparity_raw)
-        disparity_raw = self._adjust_disparity(image, disparity_raw,
-                                               instances)
-        self._stage_depth('depth_adjusted', disparity_raw)
+        with self.timer.time('depth_estimate'):
+            disparity_raw = self._estimate_disparity(image)
+            self._stage_depth('depth_coarse', disparity_raw)
+        with self.timer.time('depth_adjust'):
+            disparity_raw = self._adjust_disparity(image, disparity_raw,
+                                                   instances)
+            self._stage_depth('depth_adjusted', disparity_raw)
         # final refinement (kenburns_effect.py:618-622): Refine net or
         # the CPU/TPU-hybrid CRF path, both optional
-        if cfg.default_depth_refine:
-            disparity_raw = self._refine_disparity(image, disparity_raw)
-        elif cfg.refine_crf:
-            from .crf_refine import refine_depth_crf
-            ins_mask = np.asarray(
-                jax.device_get(instances.compose_masks()))
-            refined = refine_depth_crf(
-                img, np.asarray(jax.device_get(disparity_raw[..., 0])),
-                ins_mask if ins_mask.any() else None)
-            disparity_raw = jnp.asarray(refined)[..., None]
-        self._stage_depth('depth_final', disparity_raw)
+        with self.timer.time('depth_refine'):
+            if cfg.default_depth_refine:
+                disparity_raw = self._refine_disparity(image,
+                                                       disparity_raw)
+            elif cfg.refine_crf:
+                from .crf_refine import refine_depth_crf
+                ins_mask = np.asarray(
+                    jax.device_get(instances.compose_masks()))
+                refined = refine_depth_crf(
+                    img,
+                    np.asarray(jax.device_get(disparity_raw[..., 0])),
+                    ins_mask if ins_mask.any() else None)
+                disparity_raw = jnp.asarray(refined)[..., None]
+            self._stage_depth('depth_final', disparity_raw)
         if self._detector is not None:
             self.stages['instances'] = instances.draw(img)
-        state = self._prepare_state(image, disparity_raw, instances)
+        with self.timer.time('prepare_state'):
+            state = self._prepare_state(image, disparity_raw, instances)
+            jax.block_until_ready(state.cloud.points)
         return state
 
     def _stage_depth(self, name: str, disparity) -> None:
@@ -245,10 +257,54 @@ class KenBurnsPipeline:
             return self._est_default(image)
         if cfg.depth_est == 'zoe':
             return self._est_zoe(image)
+        if cfg.depth_est == 'leres_boost':
+            return self._est_leres_boost(image)
         if cfg.depth_est not in ('leres',):
             LOGGER.warning(f'depth_est={cfg.depth_est} not yet ported; '
                            'using leres')
         return self._est_leres(image)
+
+    def _est_leres_boost(self, image: jnp.ndarray) -> jnp.ndarray:
+        """BoostingMonoDepth: LeReS double-estimation + gradient-dense
+        patch refinement through the pix2pix merge net, then the
+        apply_leres disparity post-processing. Parity:
+        depth_modules/leres/__init__.py:112-141 (apply_leres with
+        boost=True → estimateboost) — see pipeline/boost.py."""
+        import jax as _jax
+        from ..models.leres import LeReS
+        from .boost import LeReSBoost
+        if getattr(self, '_boost', None) is None:
+            from ..models.pix2pix4depth import Pix2Pix4Depth
+            if getattr(self, '_leres_net', None) is None:
+                self._leres_net = LeReS()
+            p2p = Pix2Pix4Depth()
+            if getattr(self, '_p2p_vars', None) is None:
+                LOGGER.warning('pix2pix merge net: RANDOM init '
+                               '(no checkpoint loaded)')
+                self._p2p_vars = p2p.init(
+                    jax.random.PRNGKey(self._seed),
+                    jnp.zeros((1, 1024, 1024, 2), jnp.float32))
+            self._boost = LeReSBoost(self._leres_net,
+                                     self._vars('leres'), p2p,
+                                     self._p2p_vars,
+                                     max_res=self.cfg.max_size * 3)
+        img_u8 = np.asarray(
+            jnp.clip(image, 0, 1) * 255).astype(np.uint8)
+        depth = self._boost(img_u8)          # (H, W) raw in [0, 1]
+        # apply_leres post: 16-bit normalize → u8 → invert
+        from ..models.leres import leres_postprocess
+        disp = np.asarray(leres_postprocess(jnp.asarray(depth)))
+        pos = disp[disp > 0]
+        if pos.size:
+            disp = np.where(disp == 0, pos.min(), disp)
+        return jnp.asarray(disp[..., None].astype(np.float32))
+
+    def load_pix2pix_checkpoint(self, path: str) -> None:
+        """latest_net_G.pth → Flax (models/pix2pix4depth.py)."""
+        from ..models.convert import load_torch_ckpt
+        from ..models.pix2pix4depth import convert_pix2pix4depth
+        self._p2p_vars = convert_pix2pix4depth(load_torch_ckpt(path))
+        self._boost = None  # rebuild with the new weights
 
     def _est_zoe(self, image: jnp.ndarray) -> jnp.ndarray:
         """ZoeDepth metric depth at ~672px with flip TTA, converted to
@@ -642,12 +698,19 @@ class KenBurnsPipeline:
         if steps is None:
             steps = np.linspace(0.0, 1.0, cfg.num_frame)
         if inpaint:
-            for t in (0.0, 1.0):
-                su, sv, ds, _, _ = self._camera_params(
-                    t, obj_from, obj_to, state)
-                state = self.inpaint_pass(state, su, sv, ds)
+            with self.timer.time('inpaint_passes'):
+                for t in (0.0, 1.0):
+                    su, sv, ds, _, _ = self._camera_params(
+                        t, obj_from, obj_to, state)
+                    state = self.inpaint_pass(state, su, sv, ds)
+                jax.block_until_ready(state.cloud.points)
         state = self.compact_state(state)
-        return self.render_frames(state, obj_from, obj_to, steps)
+        with self.timer.time('render_frames'):
+            frames = self.render_frames(state, obj_from, obj_to, steps,
+                                        return_device=True)
+            jax.block_until_ready(frames)
+        with self.timer.time('host_transfer'):
+            return np.asarray(jax.device_get(frames))
 
     def compact_state(self, state: KenBurnsState) -> KenBurnsState:
         """Shrink the point cloud to a snug static capacity (bucketed

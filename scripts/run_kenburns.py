@@ -24,6 +24,11 @@ def main():
     ap.add_argument('--with-detector', action='store_true',
                     help='run instance segmentation (needs converted '
                          'weights for useful masks)')
+    ap.add_argument('--profile', action='store_true',
+                    help='print the per-stage wall-time table when done')
+    ap.add_argument('--trace-dir', default='',
+                    help='also dump a jax.profiler trace here '
+                         '(view with xprof/tensorboard)')
     args = ap.parse_args()
 
     import cv2
@@ -42,11 +47,15 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     name = osp.splitext(osp.basename(args.input_img))[0]
 
-    state = pipe.generate_state(args.input_img)
-    obj_from, obj_to = pipe.autozoom(state)
-    frames = pipe.process_kenburns(state, obj_from, obj_to)
+    from cartoonsegmentation_tpu.utils.profiling import trace
+    with trace(args.trace_dir):
+        state = pipe.generate_state(args.input_img)
+        obj_from, obj_to = pipe.autozoom(state)
+        frames = pipe.process_kenburns(state, obj_from, obj_to)
     if args.verbose:
         pipe.save_stages(args.save_dir, name)
+    if args.profile:
+        print(pipe.timer.report())
 
     out_path = osp.join(args.save_dir, f'{name}.mp4')
     write_video(frames, out_path, playback=cfg.playback)

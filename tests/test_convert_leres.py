@@ -86,3 +86,30 @@ def test_leres_converter_structure():
     got_s = _paths(converted['batch_stats'])
     assert want_s == got_s, (sorted(want_s - got_s)[:5],
                              sorted(got_s - want_s)[:5])
+
+
+def test_leres_converter_full_numeric(rng):
+    """COMPLETE LeReS (ResNeXt trunk + FTB/FFM/AO decoder) with a
+    reduced (1,1,1,1) trunk: res101-schema torch twin → convert →
+    flax forward allclose. Exercises every converter rule (grouped
+    bottlenecks, downsample blocks, FTB/FFM/outconv naming)."""
+    import torch
+    import jax.numpy as jnp
+    from torch_twins import TorchLeReS, randomize_
+    from cartoonsegmentation_tpu.models.leres import (LeReS,
+                                                      convert_leres)
+
+    tm = randomize_(TorchLeReS(layers=(1, 1, 1, 1)), seed=13,
+                    scale=0.1).eval()
+    converted = convert_leres(tm.state_dict())
+    model = LeReS(encoder_layers=(1, 1, 1, 1))
+
+    x = rng.rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = model.apply(converted, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # deep trunk of random BNs: a handful of near-zero outputs pick
+    # up ~2e-3 accumulation-order noise
+    np.testing.assert_allclose(np.asarray(got),
+                               want.transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=5e-3)

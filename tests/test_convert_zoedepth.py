@@ -112,3 +112,37 @@ def test_zoedepth_converter_structure():
     t = converted['params']['core']['backbone']['block0']['attn'][
         'rel_pos_table']
     assert t.shape == ((2 * 24 - 1) * (2 * 32 - 1) + 3, 16)
+
+
+def test_zoedepth_converter_full_numeric(rng):
+    """COMPLETE ZoeDepth graph (BEiT core + DPT decoder + metric-bins
+    head) at reduced geometry: torch twin → convert → flax forward
+    allclose. Exercises every converter rule incl. the spatially
+    flipped deconv kernels and the rel-pos tables."""
+    import torch
+    from torch_twins import TorchZoeDepth, randomize_
+
+    geo = dict(img_size=(64, 64), dim=64, depth=8, heads=4,
+               hooks=(1, 3, 5, 7), features=32,
+               out_channels=(32, 64, 96, 96), n_bins=16,
+               bin_embedding_dim=32, btlnck=48)
+    tm = randomize_(TorchZoeDepth(**geo), seed=11, scale=0.1).eval()
+    converted = convert_zoedepth(tm.state_dict(), img_size=(64, 64))
+
+    model = ZoeDepth(img_size=(64, 64), n_bins=16, bin_embedding_dim=32,
+                     core_features=32, core_out_channels=(32, 64, 96, 96),
+                     core_dim=64, core_depth=8, core_heads=4,
+                     core_hooks=(1, 3, 5, 7), btlnck_features=48)
+
+    x = rng.rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x))
+    got = model.apply(converted, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    np.testing.assert_allclose(
+        np.asarray(got['rel_depth']), want['rel_depth'].numpy(),
+        rtol=1e-3, atol=1e-4, err_msg='rel_depth')
+    np.testing.assert_allclose(
+        np.asarray(got['metric_depth'])[..., 0],
+        want['metric_depth'].numpy()[:, 0],
+        rtol=1e-3, atol=1e-4, err_msg='metric_depth')

@@ -49,6 +49,492 @@ def t_up(ch):
 
 
 # ---------------------------------------------------------------------------
+# LeReS twin: res101.pth checkpoint schema (encoder.* torchvision
+# resnext101_32x8d names; decoder.* network_auxi FTB/FFM/AO names) —
+# see models/leres.py convert_leres.
+# ---------------------------------------------------------------------------
+
+
+class TResNeXtBottleneck(tnn.Module):
+    def __init__(self, cin, planes, stride=1, groups=32, base_width=8):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * groups
+        cout = planes * 4
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1,
+                                groups=groups, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm2d(cout))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        out = tF.relu(self.bn1(self.conv1(x)))
+        out = tF.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        sc = self.downsample(x) if self.downsample is not None else x
+        return tF.relu(out + sc)
+
+
+class TResNeXt(tnn.Module):
+    def __init__(self, layers=(3, 4, 23, 3)):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        cin = 64
+        for li, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), layers)):
+            stride = 1 if li == 0 else 2
+            mods = []
+            for b in range(blocks):
+                mods.append(TResNeXtBottleneck(
+                    cin, planes, stride if b == 0 else 1))
+                cin = planes * 4
+            setattr(self, f'layer{li + 1}', tnn.Sequential(*mods))
+
+    def forward(self, x):
+        x = tF.relu(self.bn1(self.conv1(x)))
+        x = tF.max_pool2d(x, 3, 2, 1)
+        feats = []
+        for li in range(4):
+            x = getattr(self, f'layer{li + 1}')(x)
+            feats.append(x)
+        return feats
+
+
+class TFTB(tnn.Module):
+    def __init__(self, cin, mid):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, mid, 3, 1, 1, bias=True)
+        self.conv_branch = tnn.Sequential(
+            tnn.ReLU(), tnn.Conv2d(mid, mid, 3, 1, 1, bias=True),
+            tnn.BatchNorm2d(mid), tnn.ReLU(),
+            tnn.Conv2d(mid, mid, 3, 1, 1, bias=True))
+
+    def forward(self, x):
+        x = self.conv1(x)
+        return tF.relu(x + self.conv_branch(x))
+
+
+class TFFM(tnn.Module):
+    def __init__(self, cin, mid, out):
+        super().__init__()
+        self.ftb1 = TFTB(cin, mid)
+        self.ftb2 = TFTB(mid, out)
+
+    def forward(self, low, high):
+        x = self.ftb1(low) + high
+        x = self.ftb2(x)
+        return tF.interpolate(x, scale_factor=2, mode='bilinear',
+                              align_corners=True)
+
+
+class TLeReSDecoder(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv = TFTB(2048, 512)
+        self.conv1 = tnn.Conv2d(512, 256, 3, 1, 1, bias=True)
+        self.ffm2 = TFFM(1024, 256, 256)
+        self.ffm1 = TFFM(512, 256, 256)
+        self.ffm0 = TFFM(256, 256, 256)
+
+        class _AO(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.adapt_conv = tnn.Sequential(
+                    tnn.Conv2d(256, 128, 3, 1, 1, bias=True),
+                    tnn.BatchNorm2d(128), tnn.ReLU(),
+                    tnn.Conv2d(128, 1, 3, 1, 1, bias=True))
+        self.outconv = _AO()
+
+    def forward(self, feats):
+        x = self.conv(feats[3])
+        x = self.conv1(x)
+        x = tF.interpolate(x, scale_factor=2, mode='bilinear',
+                           align_corners=True)
+        x = self.ffm2(feats[2], x)
+        x = self.ffm1(feats[1], x)
+        x = self.ffm0(feats[0], x)
+        a = self.outconv.adapt_conv
+        x = a[3](a[2](a[1](a[0](x))))
+        return tF.interpolate(x, scale_factor=2, mode='bilinear',
+                              align_corners=True)
+
+
+class TorchLeReS(tnn.Module):
+    """RelDepthModel with res101.pth naming; forward takes rgb01 NCHW
+    and applies the ImageNet normalization like the flax LeReS."""
+
+    def __init__(self, layers=(3, 4, 23, 3)):
+        super().__init__()
+        self.encoder = TResNeXt(layers)
+        self.decoder = TLeReSDecoder()
+
+    def forward(self, rgb01):
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+        return self.decoder(self.encoder((rgb01 - mean) / std))
+
+
+# ---------------------------------------------------------------------------
+# ZoeDepth twin: ZoeD_M12_N.pt checkpoint schema
+# ('core.core.pretrained.model.*' BEiT, act_postprocessN readouts,
+# 'core.core.scratch.*' RefineNet decoder, metric-bins head at top
+# level) — see models/convert_zoedepth.py. Geometry is parameterized
+# so the COMPLETE graph runs at test size.
+# ---------------------------------------------------------------------------
+
+
+class TBeitAttention(tnn.Module):
+    def __init__(self, dim, heads, grid):
+        super().__init__()
+        import sys
+        sys.path.insert(0, '/root/repo')
+        from cartoonsegmentation_tpu.models.beit import rel_pos_index
+        self.heads = heads
+        self.qkv = tnn.Linear(dim, 3 * dim, bias=False)
+        self.q_bias = tnn.Parameter(torch.zeros(dim))
+        self.v_bias = tnn.Parameter(torch.zeros(dim))
+        num_rel = (2 * grid[0] - 1) * (2 * grid[1] - 1) + 3
+        self.relative_position_bias_table = tnn.Parameter(
+            torch.zeros(num_rel, heads))
+        self.register_buffer(
+            'rel_idx', torch.from_numpy(rel_pos_index(*grid)),
+            persistent=False)
+        self.proj = tnn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        hd = C // self.heads
+        qkv = self.qkv(x)
+        q, k, v = qkv.chunk(3, -1)
+        q = q + self.q_bias
+        v = v + self.v_bias
+
+        def sp(t):
+            return t.reshape(B, N, self.heads, hd).permute(0, 2, 1, 3)
+        q, k, v = sp(q), sp(k), sp(v)
+        bias = self.relative_position_bias_table[self.rel_idx]
+        bias = bias.permute(2, 0, 1)[None]
+        attn = torch.softmax(
+            (q * hd ** -0.5) @ k.transpose(-2, -1) + bias, dim=-1)
+        o = (attn @ v).permute(0, 2, 1, 3).reshape(B, N, C)
+        return self.proj(o)
+
+
+class TBeitBlock(tnn.Module):
+    def __init__(self, dim, heads, grid, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+        self.attn = TBeitAttention(dim, heads, grid)
+        self.gamma_1 = tnn.Parameter(torch.ones(dim))
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+
+        class _MLP(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc1 = tnn.Linear(dim, int(dim * mlp_ratio))
+                self.fc2 = tnn.Linear(int(dim * mlp_ratio), dim)
+
+            def forward(self, x):
+                return self.fc2(tF.gelu(self.fc1(x)))
+        self.mlp = _MLP()
+        self.gamma_2 = tnn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        x = x + self.gamma_1 * self.attn(self.norm1(x))
+        return x + self.gamma_2 * self.mlp(self.norm2(x))
+
+
+class TBeitBackbone(tnn.Module):
+    def __init__(self, img_size, dim, depth, heads, hooks):
+        super().__init__()
+        grid = (img_size[0] // 16, img_size[1] // 16)
+        self.grid = grid
+        self.hooks = hooks
+
+        class _PE(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = tnn.Conv2d(3, dim, 16, 16)
+        self.patch_embed = _PE()
+        self.cls_token = tnn.Parameter(torch.zeros(1, 1, dim))
+        self.blocks = tnn.ModuleList(
+            [TBeitBlock(dim, heads, grid) for _ in range(depth)])
+
+    def forward(self, x):
+        B = x.shape[0]
+        h = self.patch_embed.proj(x)
+        h = h.flatten(2).transpose(1, 2)
+        h = torch.cat([self.cls_token.expand(B, -1, -1), h], 1)
+        feats = []
+        for i, blk in enumerate(self.blocks):
+            h = blk(h)
+            if i in self.hooks:
+                feats.append(h)
+        return feats
+
+
+class _TRCU(tnn.Module):
+    def __init__(self, features):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(features, features, 3, 1, 1)
+        self.conv2 = tnn.Conv2d(features, features, 3, 1, 1)
+
+    def forward(self, x):
+        return x + self.conv2(tF.relu(self.conv1(tF.relu(x))))
+
+
+class _TFusion(tnn.Module):
+    def __init__(self, features):
+        super().__init__()
+        self.resConfUnit1 = _TRCU(features)
+        self.resConfUnit2 = _TRCU(features)
+        self.out_conv = tnn.Conv2d(features, features, 1)
+
+    def forward(self, x, skip=None):
+        if skip is not None:
+            x = x + self.resConfUnit1(skip)
+        x = self.resConfUnit2(x)
+        x = tF.interpolate(x, scale_factor=2, mode='bilinear',
+                           align_corners=True)
+        return self.out_conv(x)
+
+
+class _TMLP2(tnn.Module):
+    """Metric-head MLP block: _net = Conv1x1 / ReLU / Conv1x1 (+act
+    applied by the caller) — zoedepth's SeedBinRegressor/Projector/
+    Attractor schema (_net.0/_net.2)."""
+
+    def __init__(self, cin, mid, cout):
+        super().__init__()
+        self._net = tnn.Sequential(tnn.Conv2d(cin, mid, 1), tnn.ReLU(),
+                                   tnn.Conv2d(mid, cout, 1))
+
+    def forward(self, x):
+        return self._net(x)
+
+
+class TorchZoeDepth(tnn.Module):
+    """Complete ZoeDepth (DPT-BEiT core + metric bins head) with the
+    ZoeD_M12_N checkpoint naming. Forward takes rgb01 NCHW."""
+
+    def __init__(self, img_size=(64, 64), dim=64, depth=8, heads=4,
+                 hooks=(1, 3, 5, 7), features=32,
+                 out_channels=(32, 64, 96, 96), n_bins=16,
+                 bin_embedding_dim=32, btlnck=48,
+                 n_attractors=(16, 8, 4, 1)):
+        super().__init__()
+        self.n_bins = n_bins
+        self.n_attractors = n_attractors
+        gh, gw = img_size[0] // 16, img_size[1] // 16
+        self.grid = (gh, gw)
+
+        class _C(tnn.Module):
+            pass
+        pretrained = _C()
+        pretrained.model = TBeitBackbone(img_size, dim, depth, heads,
+                                         hooks)
+
+        class _TReadout(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.project = tnn.Sequential(tnn.Linear(2 * dim, dim),
+                                              tnn.GELU())
+        for i in range(4):
+            ap = tnn.Sequential(
+                _TReadout(), tnn.Identity(), tnn.Identity(),
+                tnn.Conv2d(dim, out_channels[i], 1),
+                *([tnn.ConvTranspose2d(out_channels[i], out_channels[i],
+                                       4, 4)] if i == 0 else
+                  [tnn.ConvTranspose2d(out_channels[i], out_channels[i],
+                                       2, 2)] if i == 1 else
+                  [tnn.Conv2d(out_channels[i], out_channels[i], 3, 2,
+                              1)] if i == 3 else []))
+            pretrained.add_module(f'act_postprocess{i + 1}', ap)
+
+        scratch = _C()
+        for i in range(4):
+            scratch.add_module(
+                f'layer{i + 1}_rn',
+                tnn.Conv2d(out_channels[i], features, 3, 1, 1,
+                           bias=False))
+        for i in range(1, 5):
+            scratch.add_module(f'refinenet{i}', _TFusion(features))
+        scratch.output_conv = tnn.Sequential(
+            tnn.Conv2d(features, features // 2, 3, 1, 1), tnn.Identity(),
+            tnn.Conv2d(features // 2, 32, 3, 1, 1), tnn.ReLU(),
+            tnn.Conv2d(32, 1, 1), tnn.ReLU(), tnn.Identity())
+
+        core_inner = _C()
+        core_inner.pretrained = pretrained
+        core_inner.scratch = scratch
+        core = _C()
+        core.core = core_inner
+        self.core = core
+
+        # metric bins head (top-level keys)
+        self.conv2 = tnn.Conv2d(features, btlnck, 1)
+        self.seed_bin_regressor = _TMLP2(btlnck, 256, n_bins)
+        self.seed_projector = _TMLP2(btlnck, 128, bin_embedding_dim)
+        self.projectors = tnn.ModuleList(
+            [_TMLP2(features, 128, bin_embedding_dim) for _ in range(4)])
+        self.attractors = tnn.ModuleList(
+            [_TMLP2(bin_embedding_dim, 128, n_attractors[i])
+             for i in range(4)])
+
+        class _TCLB(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                cin = 32 + 1 + bin_embedding_dim
+                self.mlp = tnn.Sequential(
+                    tnn.Conv2d(cin, cin // 2, 1), tnn.GELU(),
+                    tnn.Conv2d(cin // 2, 4, 1))
+        self.conditional_log_binomial = _TCLB()
+
+    # -- forward pieces -------------------------------------------------
+    @staticmethod
+    def _resize_ac(x, h, w):
+        return tF.interpolate(x, (h, w), mode='bilinear',
+                              align_corners=True)
+
+    def _dpt(self, x):
+        pre = self.core.core.pretrained
+        sc = self.core.core.scratch
+        gh, gw = self.grid
+        tokens = pre.model(x)
+        levels = []
+        for i, t in enumerate(tokens):
+            ap = getattr(pre, f'act_postprocess{i + 1}')
+            cls, patches = t[:, :1], t[:, 1:]
+            r = torch.cat([patches, cls.expand_as(patches)], -1)
+            r = ap[0].project(r)
+            B, N, C = r.shape
+            h = r.transpose(1, 2).reshape(B, C, gh, gw)
+            h = ap[3](h)
+            if len(ap) > 4:
+                h = ap[4](h)
+            levels.append(h)
+        rn = [getattr(sc, f'layer{i + 1}_rn')(lv)
+              for i, lv in enumerate(levels)]
+        r4 = sc.refinenet4(rn[3])
+        r4c = r4[:, :, :rn[2].shape[2], :rn[2].shape[3]]
+        r3 = sc.refinenet3(r4c, rn[2])
+        r2 = sc.refinenet2(r3, rn[1])
+        r1 = sc.refinenet1(r2, rn[0])
+        h = sc.output_conv[0](r1)
+        h = tF.interpolate(h, scale_factor=2, mode='bilinear',
+                           align_corners=True)
+        out_conv_act = tF.relu(sc.output_conv[2](h))
+        rel = tF.relu(sc.output_conv[4](out_conv_act))
+        return rel[:, 0], {'out_conv': out_conv_act, 'l4_rn': rn[3],
+                           'r4': r4, 'r3': r3, 'r2': r2, 'r1': r1}
+
+    def forward(self, rgb01):
+        x = (rgb01 - 0.5) / 0.5
+        rel_depth, hooks = self._dpt(x)
+
+        btl = self.conv2(hooks['l4_rn'])
+        seed = tF.softplus(self.seed_bin_regressor(btl))
+        b_prev = seed
+        prev_emb = self.seed_projector(btl)
+        b_centers = b_prev
+        for i, lvl in enumerate(('r4', 'r3', 'r2', 'r1')):
+            emb = self.projectors[i](hooks[lvl])
+            pe = self._resize_ac(prev_emb, emb.shape[2], emb.shape[3])
+            A = tF.softplus(self.attractors[i](emb + pe))
+            bp = self._resize_ac(b_prev, emb.shape[2], emb.shape[3])
+            dx = A.unsqueeze(2) - bp.unsqueeze(1)  # (B,nA,nb,H,W)
+            delta = (dx / (1 + 1000.0 * dx ** 2)).mean(1)
+            b = bp + delta
+            b_prev, prev_emb, b_centers = b, emb, b
+        last = hooks['out_conv']
+        rel = self._resize_ac(rel_depth[:, None], last.shape[2],
+                              last.shape[3])
+        last = torch.cat([last, rel], 1)
+        emb_up = self._resize_ac(prev_emb, last.shape[2], last.shape[3])
+        cat = torch.cat([last, emb_up], 1)
+        pt = tF.softplus(self.conditional_log_binomial.mlp(cat)) + 1e-4
+        p = pt[:, 0:1] / (pt[:, 0:1] + pt[:, 1:2])
+        t = pt[:, 2:3] / (pt[:, 2:3] + pt[:, 3:4])
+        t = (50.0 - 0.0212) * t + 0.0212
+        K = float(self.n_bins)
+        k = torch.arange(self.n_bins, dtype=torch.float32
+                         ).view(1, -1, 1, 1)
+        coef = (torch.lgamma(torch.tensor(K)) - torch.lgamma(k + 1)
+                - torch.lgamma(K - k))
+        pc = p.clamp(1e-4, 1.0)
+        omp = (1.0 - p).clamp(1e-4, 1.0)
+        y = coef + k * torch.log(pc) + (K - 1 - k) * torch.log(omp)
+        probs = torch.softmax(y / t, dim=1)
+        centers = self._resize_ac(b_centers, probs.shape[2],
+                                  probs.shape[3])
+        depth = (probs * centers).sum(1, keepdim=True)
+        return {'metric_depth': depth, 'rel_depth': rel_depth}
+
+
+# ---------------------------------------------------------------------------
+# Pix2pix depth-merge generator twin (unet_1024, norm='none' — the
+# nested UnetSkipConnectionBlock schema of latest_net_G.pth; see
+# models/pix2pix4depth.py)
+# ---------------------------------------------------------------------------
+
+
+class TUnetSkip(tnn.Module):
+    def __init__(self, outer_nc, inner_nc, input_nc=None, submodule=None,
+                 outermost=False, innermost=False):
+        super().__init__()
+        self.outermost = outermost
+        if input_nc is None:
+            input_nc = outer_nc
+        downconv = tnn.Conv2d(input_nc, inner_nc, 4, 2, 1, bias=False)
+        downrelu = tnn.LeakyReLU(0.2, True)
+        uprelu = tnn.ReLU(True)
+        if outermost:
+            upconv = tnn.ConvTranspose2d(inner_nc * 2, outer_nc, 4, 2, 1)
+            model = [downconv, submodule, uprelu, upconv, tnn.Tanh()]
+        elif innermost:
+            upconv = tnn.ConvTranspose2d(inner_nc, outer_nc, 4, 2, 1,
+                                         bias=False)
+            model = [downrelu, downconv, uprelu, upconv, tnn.Identity()]
+        else:
+            upconv = tnn.ConvTranspose2d(inner_nc * 2, outer_nc, 4, 2, 1,
+                                         bias=False)
+            model = [downrelu, downconv, tnn.Identity(), submodule,
+                     uprelu, upconv, tnn.Identity()]
+        self.model = tnn.Sequential(*model)
+
+    def forward(self, x):
+        if self.outermost:
+            return self.model(x)
+        return torch.cat([x, self.model(x)], 1)
+
+
+class TorchPix2Pix4Depth(tnn.Module):
+    """UnetGenerator(2, 1, num_downs=10, ngf=64, norm='none')."""
+
+    def __init__(self, ngf=64, num_downs=10):
+        super().__init__()
+        block = TUnetSkip(ngf * 8, ngf * 8, innermost=True)
+        for _ in range(num_downs - 5):
+            block = TUnetSkip(ngf * 8, ngf * 8, submodule=block)
+        block = TUnetSkip(ngf * 4, ngf * 8, submodule=block)
+        block = TUnetSkip(ngf * 2, ngf * 4, submodule=block)
+        block = TUnetSkip(ngf, ngf * 2, submodule=block)
+        self.model = TUnetSkip(1, ngf, input_nc=2, submodule=block,
+                               outermost=True)
+
+    def forward(self, x):
+        return self.model(x)
+
+
+# ---------------------------------------------------------------------------
 # Full 3D-Ken-Burns net twins (checkpoint key schema of the published
 # kenburns weights: netImage / netSemantics / '{r}x{c} - {r}x{c+1}'
 # grid names / netDisparity / netContext / netInput — see
