@@ -54,26 +54,68 @@ def mask_iou(dt_masks: Sequence[np.ndarray],
     return inter / np.maximum(a_d + a_g - inter, 1e-9)
 
 
-def _match_image(iou: np.ndarray, dt_scores: np.ndarray,
-                 n_thr: int) -> np.ndarray:
-    """Greedy COCO matching: for each IoU threshold, detections in
-    score order claim the best unmatched gt. Returns (n_thr, D) bool
-    TP flags (dt already score-sorted by caller)."""
+def _bbox_iou_crowd(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Crowd-gt IoU: intersection / det area (maskUtils.iou with
+    iscrowd=1)."""
+    dx2, dy2 = dt[:, 0] + dt[:, 2], dt[:, 1] + dt[:, 3]
+    gx2, gy2 = gt[:, 0] + gt[:, 2], gt[:, 1] + gt[:, 3]
+    ix = np.maximum(0, np.minimum(dx2[:, None], gx2[None]) -
+                    np.maximum(dt[:, None, 0], gt[None, :, 0]))
+    iy = np.maximum(0, np.minimum(dy2[:, None], gy2[None]) -
+                    np.maximum(dt[:, None, 1], gt[None, :, 1]))
+    darea = (dt[:, 2] * dt[:, 3])[:, None]
+    return ix * iy / np.maximum(darea, 1e-9)
+
+
+def _mask_iou_crowd(dt_masks, gt_masks) -> np.ndarray:
+    dt = np.stack([m.astype(bool).reshape(-1) for m in dt_masks])
+    gt = np.stack([m.astype(bool).reshape(-1) for m in gt_masks])
+    inter = dt.astype(np.float64) @ gt.T.astype(np.float64)
+    return inter / np.maximum(dt.sum(1)[:, None].astype(np.float64),
+                              1e-9)
+
+
+def _match_image(iou: np.ndarray, dt_scores: np.ndarray, n_thr: int,
+                 gt_ignore: Optional[np.ndarray] = None):
+    """Greedy COCO matching (pycocotools COCOeval.evaluateImg
+    semantics): for each IoU threshold, detections in score order
+    claim the best still-claimable gt with IoU >= thr; crowd/ignored
+    gts are claimable repeatedly but matching one marks the det
+    ignored (neither TP nor FP). Gts are visited non-ignored first;
+    once a det holds a non-ignored match, ignored gts can no longer
+    improve it. Returns (tp (n_thr, D) bool, dt_ig (n_thr, D) bool)
+    with dt already score-sorted by the caller."""
     D, G = iou.shape
+    if gt_ignore is None:
+        gt_ignore = np.zeros(G, bool)
+    # pycocotools sorts gts ignore-last (stable)
+    gorder = np.argsort(gt_ignore, kind='mergesort')
+    gt_ig = gt_ignore[gorder]
+    iou = iou[:, gorder] if G else iou
     tp = np.zeros((n_thr, D), bool)
+    dt_ig = np.zeros((n_thr, D), bool)
     for t, thr in enumerate(IOU_THRS[:n_thr]):
         taken = np.zeros(G, bool)
         for d in range(D):
-            best, best_g = thr, -1
+            best = min(thr, 1 - 1e-10)
+            best_g = -1
             for g in range(G):
-                if taken[g]:
+                # claimed non-crowd gts are gone; ignored (crowd) gts
+                # stay claimable
+                if taken[g] and not gt_ig[g]:
                     continue
-                if iou[d, g] >= best:
-                    best, best_g = iou[d, g], g
+                # already matched to a real gt: stop at the ignored
+                # tail (pycocotools: break to keep the real match)
+                if best_g > -1 and not gt_ig[best_g] and gt_ig[g]:
+                    break
+                if iou[d, g] < best:
+                    continue
+                best, best_g = iou[d, g], g
             if best_g >= 0:
                 taken[best_g] = True
-                tp[t, d] = True
-    return tp
+                dt_ig[t, d] = gt_ig[best_g]
+                tp[t, d] = not gt_ig[best_g]
+    return tp, dt_ig
 
 
 def coco_map(predictions: List[Dict], gts: List[Dict],
@@ -83,25 +125,41 @@ def coco_map(predictions: List[Dict], gts: List[Dict],
     only for iou_type='segm').
     Returns {'mAP', 'mAP_50', 'mAP_75', 'AP_per_iou'}."""
     n_thr = len(IOU_THRS)
-    all_scores, all_tp = [], []
+    all_scores, all_tp, all_ig = [], [], []
     n_gt = 0
     for pred, gt in zip(predictions, gts):
-        order = np.argsort(-np.asarray(pred.get('scores', [])))[:max_dets]
+        # stable score sort (pycocotools uses kind='mergesort'; with
+        # tied scores an unstable sort changes AP)
+        order = np.argsort(-np.asarray(pred.get('scores', [])),
+                           kind='mergesort')[:max_dets]
         scores = np.asarray(pred.get('scores', []))[order]
+        iscrowd = np.asarray(gt.get('iscrowd',
+                                    np.zeros(len(gt.get('bboxes', [])),
+                                             bool))).astype(bool)
         if iou_type == 'bbox':
             dt_b = np.asarray(pred.get('bboxes', np.zeros((0, 4))))
             gt_b = np.asarray(gt.get('bboxes', np.zeros((0, 4))))
-            iou = bbox_iou_xywh(dt_b[order] if len(dt_b) else dt_b,
-                                gt_b)
-            n_gt += len(gt_b)
+            dt_b = dt_b[order] if len(dt_b) else dt_b
+            iou = bbox_iou_xywh(dt_b, gt_b)
+            if iscrowd.any() and len(dt_b):
+                # crowd IoU = inter / det area (maskUtils.iou)
+                crowd_iou = _bbox_iou_crowd(dt_b, gt_b)
+                iou = np.where(iscrowd[None, :len(gt_b)], crowd_iou, iou)
+            n_gt += int((~iscrowd).sum()) if len(iscrowd) else len(gt_b)
         else:
             dt_m = [pred['masks'][i] for i in order] \
                 if pred.get('masks') is not None and len(order) else []
             gt_m = gt.get('masks', [])
             iou = mask_iou(dt_m, gt_m)
-            n_gt += len(gt_m)
+            if iscrowd.any() and len(dt_m):
+                crowd_iou = _mask_iou_crowd(dt_m, gt_m)
+                iou = np.where(iscrowd[None, :len(gt_m)], crowd_iou, iou)
+            n_gt += int((~iscrowd).sum()) if len(iscrowd) else len(gt_m)
         all_scores.append(scores)
-        all_tp.append(_match_image(iou, scores, n_thr))
+        tp, ig = _match_image(iou, scores, n_thr,
+                              iscrowd if len(iscrowd) else None)
+        all_tp.append(tp)
+        all_ig.append(ig)
 
     if n_gt == 0:
         return {'mAP': float('nan'), 'mAP_50': float('nan'),
@@ -111,13 +169,17 @@ def coco_map(predictions: List[Dict], gts: List[Dict],
     scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
     tp = np.concatenate(all_tp, axis=1) if all_tp \
         else np.zeros((n_thr, 0), bool)
-    order = np.argsort(-scores)
+    ig = np.concatenate(all_ig, axis=1) if all_ig \
+        else np.zeros((n_thr, 0), bool)
+    order = np.argsort(-scores, kind='mergesort')
     tp = tp[:, order]
+    ig = ig[:, order]
 
     aps = []
     for t in range(n_thr):
-        ctp = np.cumsum(tp[t])
-        cfp = np.cumsum(~tp[t])
+        keep = ~ig[t]
+        ctp = np.cumsum(tp[t][keep])
+        cfp = np.cumsum(~tp[t][keep])
         recall = ctp / n_gt
         precision = ctp / np.maximum(ctp + cfp, 1e-9)
         # monotone precision envelope

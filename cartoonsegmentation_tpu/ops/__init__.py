@@ -7,7 +7,6 @@ from .pointcloud import (  # noqa: F401
 )
 from .inpaint_fill import push_pull_fill, jitter_refine  # noqa: F401
 from .discfill import fill_disocclusion, fill_disocclusion_fast  # noqa: F401
-from .discfill2 import fill_disocclusion_fast2  # noqa: F401
 from .discfill3 import fill_disocclusion_fast3  # noqa: F401
 from .bokeh import bokeh_blur, bokeh_pass, bokeh_weight_field  # noqa: F401
 from .camera import (  # noqa: F401

@@ -1,4 +1,10 @@
-"""Gather-free disocclusion fill (v2) — the speed-of-light variant.
+"""Gather-free disocclusion fill (v2) — TEST-ORACLE ONLY.
+
+The shipped fill is ops/discfill3.py (bit-identical, faster); this
+module remains as the intermediate link of the bit-exactness oracle
+chain (tests/test_discfill_fast.py compares discfill → discfill2 →
+discfill3) and as the home of the shared shear helpers discfill3
+imports. Do not wire it into pipelines.
 
 Same policy as ops/discfill.py (16-direction shortest-gap fill,
 farther-depth endpoint wins) but with **zero large gathers**:

@@ -56,6 +56,16 @@ def _load() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.pm_inpaint.restype = None
+            lib.pm_inpaint_regularity.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.pm_inpaint_regularity.restype = None
             _lib = lib
     return _lib
 
@@ -75,5 +85,34 @@ def inpaint(image: np.ndarray, mask: np.ndarray, patch_size: int = 3,
         image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h, w, c, patch_size, iterations, seed,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if c > 1 else out[..., 0]
+
+
+def inpaint_regularity(image: np.ndarray, mask: np.ndarray,
+                       ijmap: np.ndarray, patch_size: int = 15,
+                       guide_weight: float = 0.25,
+                       iterations: int = 4,
+                       seed: int = 1234) -> np.ndarray:
+    """Guided variant (reference patch_match.py:120-152
+    inpaint_regularity): a float32 (H, W, 3) guide map joins the patch
+    metric with weight ``guide_weight`` so matches prefer structurally
+    similar positions."""
+    lib = _load()
+    image = np.ascontiguousarray(image, np.uint8)
+    if image.ndim == 2:
+        image = image[..., None]
+    assert ijmap.ndim == 3 and ijmap.dtype == np.float32, \
+        'ijmap must be float32 (H, W, G)'
+    ijmap = np.ascontiguousarray(ijmap)
+    mask = np.ascontiguousarray((np.asarray(mask) > 0).astype(np.uint8))
+    h, w, c = image.shape
+    out = np.empty_like(image)
+    lib.pm_inpaint_regularity(
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ijmap.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w, c, ijmap.shape[2], patch_size, iterations,
+        guide_weight, seed,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if c > 1 else out[..., 0]

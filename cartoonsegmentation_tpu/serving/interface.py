@@ -105,6 +105,57 @@ class KenBurnsService:
         return {'instances': out,
                 'overlay': base64.b64encode(enc.tobytes()).decode()}
 
+    def style(self, payload: Dict) -> Dict:
+        """Per-instance style repaint (Web UI style tab — the
+        reference capability lives in
+        Web_UI/Component_Style_Editing.py:1345-2219): detect
+        instances, inpaint-fill the background, repaint background
+        then each instance through the sd-webui API, return the final
+        image. payload: {image: b64 png/jpg, style_prompt, bg_nprompt,
+        global_nprompt, url, denoising_strength, long_side, steps,
+        cfg_scale, sampler_name, seed}."""
+        import base64
+        import tempfile
+
+        import cv2
+        if self.segmentor is None:
+            raise ValueError('no segmentor configured '
+                             '(serve(..., segmentor=...))')
+        from ..pipeline.style import StyleConfig, StyleEditor
+        raw = base64.b64decode(payload['image'])
+        img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                           cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError('could not decode image')
+        tmp = tempfile.mkdtemp(prefix='style_web_')
+        cfg = StyleConfig(
+            url=payload.get('url',
+                            'http://127.0.0.1:7860/sdapi/v1/img2img'),
+            style_prompt=payload.get('style_prompt', ''),
+            bg_nprompt=payload.get('bg_nprompt', ''),
+            global_nprompt=payload.get('global_nprompt', ''),
+            long_side=int(payload.get('long_side', 768)),
+            denoising_strength=float(
+                payload.get('denoising_strength', 0.75)),
+            cache_masks_dir=f'{tmp}/cache', save_dir=f'{tmp}/out',
+            sd_params={
+                'steps': int(payload.get('steps', 24)),
+                'cfg_scale': float(payload.get('cfg_scale', 9)),
+                'sampler_name': payload.get('sampler_name', 'Euler a'),
+                'seed': int(payload.get('seed', 0)),
+                'alwayson_scripts': {'controlnet': {'args': [{}]}},
+            })
+        editor = StyleEditor(cfg, detector=self.segmentor,
+                             tagger=getattr(self, 'tagger', None))
+        saved = editor.repaint(img, 'web')
+        if not saved:
+            return {'image': None, 'outputs': 0,
+                    'note': 'no instances detected'}
+        out = cv2.imread(saved[-1])
+        ok, enc = cv2.imencode('.png', out)
+        return {'image': base64.b64encode(enc.tobytes()).decode(),
+                'outputs': len(saved)}
+
     def result_video(self) -> bytes:
         """Full render with inpainting → mp4 bytes."""
         import tempfile
@@ -153,6 +204,8 @@ def make_handler(service: KenBurnsService):
                     service.update_box(path.rsplit('_', 1)[1],
                                        json.loads(body or b'{}'))
                     self._json({'ok': True})
+                elif path == '/style':
+                    self._json(service.style(json.loads(body or b'{}')))
                 else:
                     self._json({'error': 'not found'}, 404)
             except Exception as e:  # noqa: BLE001 — service seam

@@ -9,6 +9,9 @@ Tabs:
   download (/get_result).
 - Segmentation: upload → /segment returns detected instances (JSON)
   and a mask-overlay JPEG rendered server-side.
+- Style: per-instance repaint through a running sd-webui server —
+  upload + prompts → /style (the reference capability lives in
+  Web_UI/Component_Style_Editing.py:1345-2219).
 """
 from __future__ import annotations
 
@@ -30,6 +33,7 @@ PAGE_HTML = """<!doctype html>
 <div class="tabs">
  <button id="tb_kb" class="on" onclick="tab('kb')">Ken Burns</button>
  <button id="tb_seg" onclick="tab('seg')">Segmentation</button>
+ <button id="tb_sty" onclick="tab('sty')">Style</button>
 </div>
 <div id="status"></div>
 
@@ -63,8 +67,25 @@ PAGE_HTML = """<!doctype html>
  <pre id="seg_json"></pre>
 </div>
 
+<div id="pane_sty" class="pane">
+ <div class="row"><input type="file" id="sty_file" accept="image/*">
+  <button onclick="styRun()">Repaint</button></div>
+ <div class="row">
+  <label>style prompt <input id="sty_prompt" size="32"
+    value="masterpiece, best quality"></label>
+  <label>negative <input id="sty_nprompt" size="24"></label></div>
+ <div class="row">
+  <label>sd-webui url <input id="sty_url" size="40"
+    value="http://127.0.0.1:7860/sdapi/v1/img2img"></label>
+  <label>denoise <input type="number" id="sty_den" step="0.05"
+    min="0" max="1" value="0.75"></label>
+  <label>steps <input type="number" id="sty_steps" value="24"></label>
+ </div>
+ <div class="row"><img id="sty_img"></div>
+</div>
+
 <script>
-function tab(k){for(const p of ['kb','seg']){
+function tab(k){for(const p of ['kb','seg','sty']){
   document.getElementById('pane_'+p).classList.toggle('on', p===k);
   document.getElementById('tb_'+p).classList.toggle('on', p===k);}}
 function st(m){document.getElementById('status').textContent=m}
@@ -110,5 +131,25 @@ async function segRun(){
     JSON.stringify(j.instances,null,1);
   document.getElementById('seg_img').src=
     'data:image/jpeg;base64,'+j.overlay;}
+function b64(file){return new Promise(res=>{const r=new FileReader();
+  r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(file);})}
+async function styRun(){
+  const f=document.getElementById('sty_file').files[0];
+  if(!f){st('choose an image first');return}
+  st('repainting (needs a running sd-webui)...');
+  const payload={image:await b64(f),
+    style_prompt:document.getElementById('sty_prompt').value,
+    global_nprompt:document.getElementById('sty_nprompt').value,
+    url:document.getElementById('sty_url').value,
+    denoising_strength:+document.getElementById('sty_den').value,
+    steps:+document.getElementById('sty_steps').value};
+  const r=await fetch('/style',{method:'POST',
+    body:JSON.stringify(payload)});
+  const j=await r.json();
+  if(j.error){st('error: '+j.error);return}
+  if(!j.image){st(j.note||'no output');return}
+  st('repainted ('+j.outputs+' output[s])');
+  document.getElementById('sty_img').src=
+    'data:image/png;base64,'+j.image;}
 </script></body></html>
 """

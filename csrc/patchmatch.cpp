@@ -27,9 +27,18 @@ struct Image {
   int h = 0, w = 0, c = 0;
   std::vector<float> data;    // h*w*c
   std::vector<uint8_t> hole;  // h*w
+  // optional regularity guide (h*w*gc) with metric weight gw
+  // (PyPatchMatch inpaint_regularity: ijmap distance joins the patch
+  // metric so matches prefer structurally similar grid positions)
+  int gc = 0;
+  float gw = 0.f;
+  std::vector<float> guide;
 
   float* px(int y, int x) { return &data[(y * w + x) * c]; }
   const float* px(int y, int x) const { return &data[(y * w + x) * c]; }
+  const float* gpx(int y, int x) const {
+    return &guide[(y * w + x) * gc];
+  }
 };
 
 Image downsample2(const Image& src) {
@@ -39,6 +48,27 @@ Image downsample2(const Image& src) {
   dst.c = src.c;
   dst.data.assign((size_t)dst.h * dst.w * dst.c, 0.f);
   dst.hole.assign((size_t)dst.h * dst.w, 0);
+  dst.gc = src.gc;
+  dst.gw = src.gw;
+  if (src.gc) {
+    // guide downsampled by plain 2x2 average (no hole gating — the
+    // guide is defined everywhere)
+    dst.guide.assign((size_t)dst.h * dst.w * dst.gc, 0.f);
+    for (int y = 0; y < dst.h; ++y)
+      for (int x = 0; x < dst.w; ++x)
+        for (int k = 0; k < dst.gc; ++k) {
+          float acc = 0.f;
+          int cnt = 0;
+          for (int dy = 0; dy < 2; ++dy)
+            for (int dx = 0; dx < 2; ++dx) {
+              int sy = std::min(2 * y + dy, src.h - 1);
+              int sx = std::min(2 * x + dx, src.w - 1);
+              acc += src.gpx(sy, sx)[k];
+              ++cnt;
+            }
+          dst.guide[((size_t)y * dst.w + x) * dst.gc + k] = acc / cnt;
+        }
+  }
   for (int y = 0; y < dst.h; ++y) {
     for (int x = 0; x < dst.w; ++x) {
       float acc[8] = {0};
@@ -108,6 +138,14 @@ float patch_dist(const Image& im, int ay, int ax, int by, int bx, int r,
       for (int k = 0; k < im.c; ++k) {
         float d = pa[k] - pb[k];
         acc += d * d;
+      }
+      if (im.gc) {
+        const float* ga = im.gpx(ay2, ax2);
+        const float* gb = im.gpx(by2, bx2);
+        for (int k = 0; k < im.gc; ++k) {
+          float d = ga[k] - gb[k];
+          acc += im.gw * d * d;
+        }
       }
     }
     if (acc > early_out) return acc;
@@ -212,6 +250,13 @@ void pm_level(Image& im, int patch, int iters, std::mt19937& rng) {
 
 }  // namespace
 
+namespace {
+
+void pm_run(Image& im, int patch_size, int iterations, uint64_t seed,
+            uint8_t* out);
+
+}  // namespace
+
 extern "C" {
 
 void pm_inpaint(const uint8_t* image, const uint8_t* mask, int h, int w,
@@ -228,7 +273,42 @@ void pm_inpaint(const uint8_t* image, const uint8_t* mask, int h, int w,
   for (size_t i = 0; i < im.hole.size(); ++i)
     if (im.hole[i])
       for (int k = 0; k < c; ++k) im.data[i * c + k] = 0.f;
+  pm_run(im, patch_size, iterations, seed, out);
+}
 
+// PyPatchMatch-compatible regularity variant: an (h, w, gc) float32
+// guide map (e.g. the normalized-ij map) joins the patch metric with
+// weight guide_weight * 255^2 (the image channels are 0-255 here
+// while callers pass a [0,1] ijmap like the reference).
+void pm_inpaint_regularity(const uint8_t* image, const uint8_t* mask,
+                           const float* ijmap, int h, int w, int c,
+                           int gc, int patch_size, int iterations,
+                           float guide_weight, uint64_t seed,
+                           uint8_t* out) {
+  Image im;
+  im.h = h;
+  im.w = w;
+  im.c = c;
+  im.data.resize((size_t)h * w * c);
+  im.hole.resize((size_t)h * w);
+  for (size_t i = 0; i < im.hole.size(); ++i) im.hole[i] = mask[i] > 0;
+  for (size_t i = 0; i < im.data.size(); ++i) im.data[i] = image[i];
+  for (size_t i = 0; i < im.hole.size(); ++i)
+    if (im.hole[i])
+      for (int k = 0; k < c; ++k) im.data[i * c + k] = 0.f;
+  im.gc = gc;
+  im.gw = guide_weight * 255.f * 255.f;
+  im.guide.assign(ijmap, ijmap + (size_t)h * w * gc);
+  pm_run(im, patch_size, iterations, seed, out);
+}
+
+}  // extern "C"
+
+namespace {
+
+void pm_run(Image& im, int patch_size, int iterations, uint64_t seed,
+            uint8_t* out) {
+  int c = im.c;
   // build pyramid
   std::vector<Image> pyr{im};
   while (std::min(pyr.back().h, pyr.back().w) > 32) {
@@ -266,4 +346,4 @@ void pm_inpaint(const uint8_t* image, const uint8_t* mask, int h, int w,
   }
 }
 
-}  // extern "C"
+}  // namespace

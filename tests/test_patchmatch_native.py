@@ -37,3 +37,27 @@ def test_inpaint_textured(rng):
     assert (out[mask > 0] > 0).mean() > 0.9
     out2 = pm.inpaint(corrupted, mask, patch_size=7, iterations=4)
     np.testing.assert_array_equal(out, out2)
+
+
+def test_inpaint_regularity(rng):
+    """Guided variant: fills the hole, and the guide actually changes
+    the result vs the unguided call."""
+    from cartoonsegmentation_tpu.ops.patchmatch_native import (
+        inpaint, inpaint_regularity)
+    img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    img[:, :24] = (30, 60, 200)
+    img[:, 24:] = (200, 60, 30)
+    mask = np.zeros((48, 48), np.uint8)
+    mask[20:28, 20:28] = 1
+    yy, xx = np.mgrid[0:48, 0:48].astype(np.float32) / 48.0
+    ijmap = np.stack([yy, xx, np.zeros_like(xx)], -1)
+
+    out = inpaint_regularity(img, mask, ijmap, patch_size=5,
+                             guide_weight=2.0)
+    assert out.shape == img.shape
+    # untouched outside the hole
+    np.testing.assert_array_equal(out[~(mask > 0)], img[~(mask > 0)])
+    # hole no longer zero/black
+    assert out[mask > 0].mean() > 10
+    base = inpaint(img, mask, patch_size=5)
+    assert not np.array_equal(out, base)

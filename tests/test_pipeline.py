@@ -93,3 +93,25 @@ def test_kenburns_patchmatch_inpaint_type(rng):
     frames = pipe.process_kenburns(state, obj_from, obj_to, inpaint=True)
     assert frames.shape == (2, 40, 48, 3)
     assert np.isfinite(frames.astype(np.float32)).all()
+
+
+def test_stream_video(rng, tmp_path):
+    """Chunked overlapped transfer writes the same palindrome mp4 as
+    write_video and returns the forward frames."""
+    import cv2
+    import jax.numpy as jnp
+    from cartoonsegmentation_tpu.pipeline import stream_video
+
+    frames = (rng.rand(7, 32, 48, 3) * 255).astype(np.uint8)
+    p1 = str(tmp_path / 'a.mp4')
+    p2 = str(tmp_path / 'b.mp4')
+    got = stream_video(jnp.asarray(frames), p1, playback=True, chunk=3)
+    np.testing.assert_array_equal(got, frames)
+    from cartoonsegmentation_tpu.pipeline import write_video
+    write_video(frames, p2, playback=True)
+    c1 = cv2.VideoCapture(p1)
+    c2 = cv2.VideoCapture(p2)
+    n1 = int(c1.get(cv2.CAP_PROP_FRAME_COUNT))
+    n2 = int(c2.get(cv2.CAP_PROP_FRAME_COUNT))
+    c1.release(); c2.release()
+    assert n1 == n2 == 7 + 5

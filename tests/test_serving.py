@@ -102,3 +102,56 @@ def test_segment_route_without_segmentor(rng):
         assert 'no segmentor' in r.json()['error']
     finally:
         srv.shutdown()
+
+
+def test_style_route(rng, tmp_path):
+    """POST /style drives StyleEditor end to end through a fake
+    sd-webui server (reference capability:
+    Web_UI/Component_Style_Editing.py style tab)."""
+    import base64
+    from test_style_and_fill import _FakeSD, _serve
+    from cartoonsegmentation_tpu.instances import Instances
+
+    class FakeDetector:
+        def infer(self, img, *a, **k):
+            h, w = img.shape[:2]
+            m = np.zeros((h, w), bool)
+            m[h // 4: h // 2, w // 4: w // 2] = True
+            return Instances.from_numpy(
+                m[None], np.array([[w // 4, h // 4, w // 4, h // 4]],
+                                  np.float32), capacity=2)
+
+    _FakeSD.calls.clear()
+    sd = _serve()
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    srv = serve(pipe, '127.0.0.1', 0, block=False,
+                segmentor=FakeDetector())
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        # the page advertises the tab
+        r = requests.get(f'{base}/')
+        assert '/style' in r.text and 'styRun' in r.text
+
+        img = (rng.rand(80, 64, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        payload = {
+            'image': base64.b64encode(enc.tobytes()).decode(),
+            'style_prompt': 'pixar style', 'long_side': 64,
+            'steps': 2,
+            'url': f'http://127.0.0.1:{sd.server_port}/sdapi/v1/img2img',
+        }
+        r = requests.post(f'{base}/style', data=json.dumps(payload))
+        out = r.json()
+        assert r.status_code == 200, out
+        assert out['outputs'] == 1
+        dec = cv2.imdecode(np.frombuffer(
+            base64.b64decode(out['image']), np.uint8), cv2.IMREAD_COLOR)
+        assert dec is not None and dec.shape[-1] == 3
+        # bg repaint + one instance inpaint hit the sd server
+        assert len(_FakeSD.calls) == 2
+        assert 'pixar style' in _FakeSD.calls[0]['prompt']
+    finally:
+        srv.shutdown()
+        sd.shutdown()
