@@ -239,6 +239,35 @@ class MonoDepthTrainLoader:
             }
 
 
+class MixedNYUKITTILoader:
+    """Repetitive round-robin over a nyu loader and a kitti loader
+    (reference data_mono.py:190-238 RepetitiveRoundRobinDataLoader +
+    MixedNYUKITTI): batches alternate nyu/kitti, the shorter stream
+    restarts until the longer finishes, and every batch carries a
+    scalar 'domain' label (0=nyu, 1=kitti) for the NK router loss."""
+
+    def __init__(self, nyu_loader: 'MonoDepthTrainLoader',
+                 kitti_loader: 'MonoDepthTrainLoader'):
+        self.loaders = (nyu_loader, kitti_loader)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        iters = [ld.epoch(epoch) for ld in self.loaders]
+        lengths = [len(ld.src) // ld.bs for ld in self.loaders]
+        n_rounds = max(lengths)
+        restarts = [0, 0]
+        for _ in range(n_rounds):
+            for d in range(2):
+                try:
+                    batch = next(iters[d])
+                except StopIteration:
+                    restarts[d] += 1
+                    iters[d] = self.loaders[d].epoch(
+                        epoch * 1000 + restarts[d])
+                    batch = next(iters[d])
+                batch['domain'] = np.int32(d)
+                yield batch
+
+
 def evaluate_depth(predict_fn, source: MonoDepthSource,
                    indices: Optional[Sequence[int]] = None,
                    **metric_kwargs) -> Dict[str, float]:

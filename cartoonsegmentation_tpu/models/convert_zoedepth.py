@@ -45,35 +45,25 @@ def _put(tree: Dict, path, leaf):
     node[path[-1]] = leaf
 
 
-def convert_zoedepth(sd: Dict, img_size: Tuple[int, int] = (384, 512)
-                     ) -> Dict:
-    sd = {k[len('module.'):] if k.startswith('module.') else k: v
-          for k, v in sd.items()}
-    grid = (img_size[0] // 16, img_size[1] // 16)
-    P: Dict = {}
+def conv_w(v):
+    return _np(v).transpose(2, 3, 1, 0)
 
-    def conv_w(v):
-        return _np(v).transpose(2, 3, 1, 0)
 
-    def deconv_w(v):
-        # torch ConvTranspose2d ≡ flax ConvTranspose(transpose_kernel=
-        # False) with the kernel flipped spatially and laid out
-        # (kh, kw, in, out) — verified numerically against torch
-        # (without the flip the k4s4 resample is wrong by O(1)).
-        return _np(v)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+def deconv_w(v):
+    # torch ConvTranspose2d ≡ flax ConvTranspose(transpose_kernel=
+    # False) with the kernel flipped spatially and laid out
+    # (kh, kw, in, out) — verified numerically against torch
+    # (without the flip the k4s4 resample is wrong by O(1)).
+    return _np(v)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
 
-    def lin_w(v):
-        return _np(v).T
 
-    def mlp2(prefix_t, path):
-        """torch Sequential Conv1x1(0) ReLU Conv1x1(2) → net0/net1."""
-        _put(P, path + ('net0', 'kernel'),
-             conv_w(sd[f'{prefix_t}.0.weight']))
-        _put(P, path + ('net0', 'bias'), _np(sd[f'{prefix_t}.0.bias']))
-        _put(P, path + ('net1', 'kernel'),
-             conv_w(sd[f'{prefix_t}.2.weight']))
-        _put(P, path + ('net1', 'bias'), _np(sd[f'{prefix_t}.2.bias']))
+def lin_w(v):
+    return _np(v).T
 
+
+def _convert_core(sd: Dict, P: Dict, grid: Tuple[int, int]) -> None:
+    """MiDaS DPT-BEiT core: 'core.core.pretrained.*' +
+    'core.core.scratch.*' → the Flax 'core' subtree."""
     # ---- BEiT backbone -------------------------------------------------
     pm = 'core.core.pretrained.model'
     bb = ('core', 'backbone')
@@ -167,6 +157,27 @@ def convert_zoedepth(sd: Dict, img_size: Tuple[int, int] = (384, 512)
         _put(P, ('core', fi, 'bias'),
              _np(sd[f'{sc}.output_conv.{ti}.bias']))
 
+
+def _mlp2(sd: Dict, P: Dict, prefix_t: str, path: Tuple) -> None:
+    """torch Sequential Conv1x1(0) ReLU Conv1x1(2) → net0/net1."""
+    _put(P, path + ('net0', 'kernel'), conv_w(sd[f'{prefix_t}.0.weight']))
+    _put(P, path + ('net0', 'bias'), _np(sd[f'{prefix_t}.0.bias']))
+    _put(P, path + ('net1', 'kernel'), conv_w(sd[f'{prefix_t}.2.weight']))
+    _put(P, path + ('net1', 'bias'), _np(sd[f'{prefix_t}.2.bias']))
+
+
+def convert_zoedepth(sd: Dict, img_size: Tuple[int, int] = (384, 512)
+                     ) -> Dict:
+    sd = {k[len('module.'):] if k.startswith('module.') else k: v
+          for k, v in sd.items()}
+    grid = (img_size[0] // 16, img_size[1] // 16)
+    P: Dict = {}
+
+    def mlp2(prefix_t, path):
+        _mlp2(sd, P, prefix_t, path)
+
+    _convert_core(sd, P, grid)
+
     # ---- metric bins head ----------------------------------------------
     _put(P, ('conv2', 'kernel'), conv_w(sd['conv2.weight']))
     _put(P, ('conv2', 'bias'), _np(sd['conv2.bias']))
@@ -183,4 +194,75 @@ def convert_zoedepth(sd: Dict, img_size: Tuple[int, int] = (384, 512)
          conv_w(sd['conditional_log_binomial.mlp.2.weight']))
     _put(P, ('conditional_log_binomial', 'mlp1', 'bias'),
          _np(sd['conditional_log_binomial.mlp.2.bias']))
+    return {'params': P}
+
+
+def convert_zoedepth_nk(sd: Dict,
+                        img_size: Tuple[int, int] = (384, 512),
+                        domains: Tuple[str, ...] = ('nyu', 'kitti')
+                        ) -> Dict:
+    """ZoeD_M12_NK.pt → Flax ZoeDepthNK params.
+
+    NK layout (zoedepth_nk_v1.py:97-157): shared conv2 / seed_projector
+    / projectors, plus per-domain ModuleDicts (seed_bin_regressors.*,
+    attractors.*, conditional_log_binomial.*) and the patch-transformer
+    router (patch_transformer.* + mlp_classifier.*)."""
+    sd = {k[len('module.'):] if k.startswith('module.') else k: v
+          for k, v in sd.items()}
+    grid = (img_size[0] // 16, img_size[1] // 16)
+    P: Dict = {}
+    _convert_core(sd, P, grid)
+
+    _put(P, ('conv2', 'kernel'), conv_w(sd['conv2.weight']))
+    _put(P, ('conv2', 'bias'), _np(sd['conv2.bias']))
+
+    # router: 1×1 patch embedding + 4 torch TransformerEncoder layers
+    pt = 'patch_transformer'
+    _put(P, (pt, 'embedding_convPxP', 'kernel'),
+         conv_w(sd[f'{pt}.embedding_convPxP.weight']))
+    _put(P, (pt, 'embedding_convPxP', 'bias'),
+         _np(sd[f'{pt}.embedding_convPxP.bias']))
+    n_layers = 1 + max(
+        int(k.split('.layers.')[1].split('.')[0]) for k in sd
+        if '.layers.' in k)
+    for i in range(n_layers):
+        t = f'{pt}.transformer_encoder.layers.{i}'
+        f = (pt, f'layer{i}')
+        _put(P, f + ('in_proj_kernel',),
+             lin_w(sd[f'{t}.self_attn.in_proj_weight']))
+        _put(P, f + ('in_proj_bias',),
+             _np(sd[f'{t}.self_attn.in_proj_bias']))
+        _put(P, f + ('out_proj', 'kernel'),
+             lin_w(sd[f'{t}.self_attn.out_proj.weight']))
+        _put(P, f + ('out_proj', 'bias'),
+             _np(sd[f'{t}.self_attn.out_proj.bias']))
+        for lin in ('linear1', 'linear2'):
+            _put(P, f + (lin, 'kernel'), lin_w(sd[f'{t}.{lin}.weight']))
+            _put(P, f + (lin, 'bias'), _np(sd[f'{t}.{lin}.bias']))
+        for norm in ('norm1', 'norm2'):
+            _put(P, f + (norm, 'scale'), _np(sd[f'{t}.{norm}.weight']))
+            _put(P, f + (norm, 'bias'), _np(sd[f'{t}.{norm}.bias']))
+    _put(P, ('mlp_classifier0', 'kernel'),
+         lin_w(sd['mlp_classifier.0.weight']))
+    _put(P, ('mlp_classifier0', 'bias'), _np(sd['mlp_classifier.0.bias']))
+    _put(P, ('mlp_classifier1', 'kernel'),
+         lin_w(sd['mlp_classifier.2.weight']))
+    _put(P, ('mlp_classifier1', 'bias'), _np(sd['mlp_classifier.2.bias']))
+
+    # shared embedding chain + per-domain metric heads
+    _mlp2(sd, P, 'seed_projector._net', ('seed_projector',))
+    for i in range(4):
+        _mlp2(sd, P, f'projectors.{i}._net', (f'projector{i}',))
+    for name in domains:
+        _mlp2(sd, P, f'seed_bin_regressors.{name}._net',
+              (f'seed_bin_regressor_{name}',))
+        for i in range(4):
+            _mlp2(sd, P, f'attractors.{name}.{i}._net',
+                  (f'attractor{i}_{name}',))
+        clb_t = f'conditional_log_binomial.{name}.mlp'
+        clb_f = f'conditional_log_binomial_{name}'
+        _put(P, (clb_f, 'mlp0', 'kernel'), conv_w(sd[f'{clb_t}.0.weight']))
+        _put(P, (clb_f, 'mlp0', 'bias'), _np(sd[f'{clb_t}.0.bias']))
+        _put(P, (clb_f, 'mlp1', 'kernel'), conv_w(sd[f'{clb_t}.2.weight']))
+        _put(P, (clb_f, 'mlp1', 'bias'), _np(sd[f'{clb_t}.2.bias']))
     return {'params': P}

@@ -200,6 +200,176 @@ class ZoeDepth(nn.Module):
         return {'metric_depth': depth, 'rel_depth': rel_depth}
 
 
+class TorchTransformerLayer(nn.Module):
+    """Twin of torch.nn.TransformerEncoderLayer defaults (post-LN,
+    ReLU feed-forward, packed-qkv in_proj) used by the ZoeDepth-NK
+    router (reference depth_modules/zoedepth/models/layers/
+    patch_transformer.py:46-49). Dropout is inert at inference and is
+    omitted."""
+    embed_dim: int = 128
+    num_heads: int = 4
+    ff_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, x):                         # (B, S, E)
+        E, H = self.embed_dim, self.num_heads
+        in_kernel = self.param('in_proj_kernel', nn.initializers.xavier_uniform(), (E, 3 * E))
+        in_bias = self.param('in_proj_bias', nn.initializers.zeros, (3 * E,))
+        qkv = x @ in_kernel + in_bias
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        B, S = x.shape[0], x.shape[1]
+        hd = E // H
+
+        def heads(t):
+            return t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jax.nn.softmax(
+            (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(hd), axis=-1)
+        o = (attn @ v).transpose(0, 2, 1, 3).reshape(B, S, E)
+        o = nn.Dense(E, name='out_proj')(o)
+        x = nn.LayerNorm(name='norm1')(x + o)
+        h = nn.Dense(self.ff_dim, name='linear1')(x)
+        h = nn.Dense(E, name='linear2')(nn.relu(h))
+        return nn.LayerNorm(name='norm2')(x + h)
+
+
+class PatchTransformerEncoder(nn.Module):
+    """ViT-like router encoder (patch_transformer.py:29-92): 1×1 patch
+    embedding, optional zero class token at sequence start, fixed 1-D
+    sinusoidal position encoding (sin block then cos block — NOT
+    interleaved), 4 post-LN transformer layers."""
+    embedding_dim: int = 128
+    num_heads: int = 4
+    num_layers: int = 4
+    use_class_token: bool = True
+
+    @nn.compact
+    def __call__(self, x):                         # NHWC → (B, S, E)
+        E = self.embedding_dim
+        emb = nn.Conv(E, (1, 1), name='embedding_convPxP')(x)
+        B = emb.shape[0]
+        emb = emb.reshape(B, -1, E)
+        if self.use_class_token:
+            emb = jnp.concatenate(
+                [jnp.zeros((B, 1, E), emb.dtype), emb], axis=1)
+        S = emb.shape[1]
+        pos = jnp.arange(S, dtype=jnp.float32)[:, None]
+        idx = jnp.arange(0, E, 2, dtype=jnp.float32)[None, :]
+        ang = pos * jnp.exp(idx * (-jnp.log(10000.0) / E))
+        pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)
+        emb = emb + pe[None]
+        for i in range(self.num_layers):
+            emb = TorchTransformerLayer(E, self.num_heads,
+                                        name=f'layer{i}')(emb)
+        return emb
+
+
+# domain bin configurations of the shipped NK checkpoint
+# (config_zoedepth_nk.json: nyu 64 bins 1e-3..10, kitti 64 bins
+# 1e-3..80)
+NK_BIN_CONF = (('nyu', 64, 1e-3, 10.0), ('kitti', 64, 1e-3, 80.0))
+
+
+class ZoeDepthNK(nn.Module):
+    """Two-headed metric-depth model with a learned domain router
+    (reference zoedepth_nk/zoedepth_nk_v1.py:40-243).
+
+    The reference routes with a Python-level argmax over the batch
+    domain vote and runs only the winning head. Under XLA both metric
+    heads (4 tiny 1×1-conv MLP stacks + one log-binomial head each —
+    negligible next to the 24-block BEiT core) are computed and the
+    result is selected with `jnp.where`, keeping the graph static.
+
+    NK head deltas vs the single-head ZoeDepth: seed/projector MLPs
+    use mlp_dim = bin_embedding_dim//2, attractors use alpha from the
+    NK config, the conditional-log-binomial input is the 32-channel
+    DPT out-conv activation WITHOUT the relative-depth concat
+    (zoedepth_nk_v1.py:152,222-230), and its bottleneck factor is 4."""
+    img_size: Tuple[int, int] = (384, 512)
+    bin_conf: Tuple[Tuple[str, int, float, float], ...] = NK_BIN_CONF
+    bin_embedding_dim: int = 128
+    n_attractors: Tuple[int, ...] = (16, 8, 4, 1)
+    attractor_alpha: float = 1000.0
+    attractor_gamma: int = 2
+    attractor_kind: str = 'mean'
+    attractor_type: str = 'inv'
+    min_temp: float = 0.0212
+    max_temp: float = 50.0
+    # DPT/BEiT core geometry (reduced in twin tests)
+    core_features: int = 256
+    core_out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
+    core_dim: int = 1024
+    core_depth: int = 24
+    core_heads: int = 16
+    core_hooks: Tuple[int, ...] = (5, 11, 17, 23)
+    btlnck_features: int = 256
+
+    @nn.compact
+    def __call__(self, rgb01):
+        x = (rgb01 - 0.5) / 0.5                    # MiDaS norm
+        rel_depth, hooks = DPTBeit(img_size=self.img_size,
+                                   features=self.core_features,
+                                   out_channels=self.core_out_channels,
+                                   dim=self.core_dim,
+                                   depth=self.core_depth,
+                                   num_heads=self.core_heads,
+                                   hooks=self.core_hooks,
+                                   name='core')(x)
+        btlnck = nn.Conv(self.btlnck_features, (1, 1),
+                         name='conv2')(hooks['l4_rn'])
+
+        # learned nyu/kitti router (zoedepth_nk_v1.py:101-107,187-195)
+        seq = PatchTransformerEncoder(
+            name='patch_transformer')(btlnck)
+        h = nn.Dense(128, name='mlp_classifier0')(seq[:, 0])
+        domain_logits = nn.Dense(2, name='mlp_classifier1')(nn.relu(h))
+        vote = jax.nn.softmax(domain_logits.sum(0))
+        is_kitti = vote[1] > vote[0]
+
+        # shared embedding chain (seed_projector + projectors are NOT
+        # per-domain; only the attractor/seed/clb MLPs are)
+        emb_mid = self.bin_embedding_dim // 2
+        prev_emb0 = Projector(self.bin_embedding_dim, mlp_dim=emb_mid,
+                              name='seed_projector')(btlnck)
+        levels = [hooks[k] for k in ('r4', 'r3', 'r2', 'r1')]
+        embs = [Projector(self.bin_embedding_dim, mlp_dim=emb_mid,
+                          name=f'projector{i}')(lv)
+                for i, lv in enumerate(levels)]
+
+        last = hooks['out_conv']
+        depths = []
+        for name, n_bins, _, _ in self.bin_conf:
+            _, b_prev = SeedBinRegressorUnnormed(
+                n_bins, mlp_dim=emb_mid,
+                name=f'seed_bin_regressor_{name}')(btlnck)
+            prev_emb = prev_emb0
+            b_centers = b_prev
+            for i, emb in enumerate(embs):
+                _, b_centers = AttractorLayerUnnormed(
+                    n_bins, self.n_attractors[i],
+                    mlp_dim=self.bin_embedding_dim,
+                    alpha=self.attractor_alpha,
+                    gamma=self.attractor_gamma,
+                    kind=self.attractor_kind,
+                    attractor_type=self.attractor_type,
+                    name=f'attractor{i}_{name}')(emb, b_prev, prev_emb)
+                b_prev, prev_emb = b_centers, emb
+            emb_up = resize_bilinear_ac(prev_emb, last.shape[-3],
+                                        last.shape[-2])
+            probs = ConditionalLogBinomial(
+                n_bins, bottleneck_factor=4, min_temp=self.min_temp,
+                max_temp=self.max_temp,
+                name=f'conditional_log_binomial_{name}')(last, emb_up)
+            centers = resize_bilinear_ac(b_centers, probs.shape[-3],
+                                         probs.shape[-2])
+            depths.append(jnp.sum(probs * centers, -1, keepdims=True))
+
+        depth = jnp.where(is_kitti, depths[1], depths[0])
+        return {'metric_depth': depth, 'rel_depth': rel_depth,
+                'domain_logits': domain_logits}
+
+
 def pad_tta_amounts(h: int, w: int, fh: float = 3.0,
                     fw: float = 3.0) -> Tuple[int, int]:
     """Reflect-pad sizes of the reference's padding augmentation

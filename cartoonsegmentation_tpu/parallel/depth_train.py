@@ -179,6 +179,50 @@ def zoe_optimizer(lr: float = 1.6e-4, core_lr_factor: float = 10.0,
         label_fn)
 
 
+def make_zoe_nk_train_step(model, tx, w_si: float = 1.0,
+                           w_domain: float = 100.0,
+                           w_grad: float = 0.0):
+    """Training step for models/zoedepth.ZoeDepthNK (reference
+    zoedepth_nk_trainer.py:47-113): SILog on the routed metric depth
+    plus a cross-entropy domain-classification loss on the router
+    logits (config_zoedepth_nk.json: w_si=1, w_domain=100). The batch
+    carries a scalar 'domain' label (0=nyu, 1=kitti) — the reference
+    guarantees whole-batch domain homogeneity via the round-robin
+    mixed loader."""
+    from ..utils import resize_bilinear_ac
+
+    @jax.jit
+    def step(state: SimpleState, batch: Dict):
+        def loss_fn(p):
+            out = model.apply({'params': p}, batch['images'])
+            pred = out['metric_depth']
+            H, W = batch['images'].shape[1:3]
+            pred = resize_bilinear_ac(pred, H, W)
+            mask = batch['mask']
+            l_si = silog_loss(pred, batch['depth'], mask)
+            labels = jnp.full((out['domain_logits'].shape[0],),
+                              batch['domain'], jnp.int32)
+            l_dom = optax.softmax_cross_entropy_with_integer_labels(
+                out['domain_logits'], labels).mean()
+            loss = w_si * l_si + w_domain * l_dom
+            metrics = {'l_si': l_si, 'l_domain': l_dom}
+            if w_grad > 0:
+                l_g = grad_l1_loss(pred, batch['depth'], mask)
+                loss = loss + w_grad * l_g
+                metrics['l_grad'] = l_g
+            metrics['loss'] = loss
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SimpleState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
 def make_zoe_train_step(model, tx, min_depth: float = 1e-3,
                         max_depth: float = 10.0):
     """Training step for models/zoedepth.ZoeDepth: the model predicts

@@ -257,6 +257,8 @@ class KenBurnsPipeline:
             return self._est_default(image)
         if cfg.depth_est == 'zoe':
             return self._est_zoe(image)
+        if cfg.depth_est == 'zoe_nk':
+            return self._est_zoe(image, nk=True)
         if cfg.depth_est == 'leres_boost':
             return self._est_leres_boost(image)
         if cfg.depth_est not in ('leres',):
@@ -306,25 +308,29 @@ class KenBurnsPipeline:
         self._p2p_vars = convert_pix2pix4depth(load_torch_ckpt(path))
         self._boost = None  # rebuild with the new weights
 
-    def _est_zoe(self, image: jnp.ndarray) -> jnp.ndarray:
+    def _est_zoe(self, image: jnp.ndarray,
+                 nk: bool = False) -> jnp.ndarray:
         """ZoeDepth metric depth at ~672px with flip TTA, converted to
         disparity. Parity: kenburns_effect.py:812-818 (_depth_est_zoe;
-        img_size [672,672] set at :543)."""
-        from ..models.zoedepth import ZoeDepth, infer_zoe
+        img_size [672,672] set at :543). ``nk=True`` selects the
+        two-headed ZoeDepthNK router model (zoedepth_nk_v1.py)."""
+        from ..models.zoedepth import ZoeDepth, ZoeDepthNK, infer_zoe
         from ..utils import scaledown_size
         cfg = self.cfg
         H, W = image.shape[:2]
         zh, zw = scaledown_size(H, W, 672, divisor=32)
+        cls = ZoeDepthNK if nk else ZoeDepth
         if getattr(self, '_zoe_net', None) is None \
-                or self._zoe_net.img_size != (zh, zw):
-            self._zoe_net = ZoeDepth(img_size=(zh, zw))
+                or self._zoe_net.img_size != (zh, zw) \
+                or not isinstance(self._zoe_net, cls):
+            self._zoe_net = cls(img_size=(zh, zw))
             self._zoe_vars = None
         if self._zoe_vars is None:
             LOGGER.warning('zoedepth: RANDOM init (no checkpoint loaded)')
             self._zoe_vars = self._zoe_net.init(
                 jax.random.PRNGKey(self._seed),
                 jnp.zeros((1, zh, zw, 3), jnp.float32))
-        key = ('zoe', H, W, zh, zw)
+        key = ('zoe_nk' if nk else 'zoe', H, W, zh, zw)
         if key not in self._jit_cache:
             net = self._zoe_net
             focal, baseline = cfg.focal, cfg.baseline
@@ -343,14 +349,22 @@ class KenBurnsPipeline:
         return self._jit_cache[key](self._zoe_vars, image)
 
     def load_zoe_checkpoint(self, path: str) -> None:
-        """ZoeD_M12_N.pt → Flax (models/convert_zoedepth.py)."""
+        """ZoeD_M12_N.pt / ZoeD_M12_NK.pt → Flax
+        (models/convert_zoedepth.py). The variant is auto-detected
+        from the state dict: NK checkpoints carry the router keys
+        (patch_transformer.*, zoedepth_nk_v1.py:101-107)."""
         from ..models.convert import load_torch_ckpt
-        from ..models.convert_zoedepth import convert_zoedepth
-        from ..models.zoedepth import ZoeDepth
-        if getattr(self, '_zoe_net', None) is None:
-            self._zoe_net = ZoeDepth(img_size=(672, 672))
-        self._zoe_vars = convert_zoedepth(load_torch_ckpt(path),
-                                          self._zoe_net.img_size)
+        from ..models.convert_zoedepth import (convert_zoedepth,
+                                               convert_zoedepth_nk)
+        from ..models.zoedepth import ZoeDepth, ZoeDepthNK
+        sd = load_torch_ckpt(path)
+        is_nk = any(k.startswith('patch_transformer.') for k in sd)
+        cls = ZoeDepthNK if is_nk else ZoeDepth
+        if getattr(self, '_zoe_net', None) is None \
+                or not isinstance(self._zoe_net, cls):
+            self._zoe_net = cls(img_size=(672, 672))
+        conv = convert_zoedepth_nk if is_nk else convert_zoedepth
+        self._zoe_vars = conv(sd, self._zoe_net.img_size)
 
     def _est_default(self, image: jnp.ndarray) -> jnp.ndarray:
         H, W = image.shape[:2]

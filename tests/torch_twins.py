@@ -945,6 +945,123 @@ class TorchRTMDet(tnn.Module):
         return self.bbox_head(self.neck(self.backbone(x)))
 
 
+class _TPatchTransformer(tnn.Module):
+    """ZoeD_M12_NK router schema: embedding_convPxP (1×1) +
+    transformer_encoder (real torch.nn.TransformerEncoder, 4 layers,
+    4 heads, ff 1024, post-LN defaults) with a zero class token and
+    block sinusoidal position encoding (sin half then cos half)."""
+
+    def __init__(self, in_channels, embedding_dim=128):
+        super().__init__()
+        layer = tnn.TransformerEncoderLayer(embedding_dim, 4,
+                                            dim_feedforward=1024)
+        self.transformer_encoder = tnn.TransformerEncoder(layer, 4)
+        self.embedding_convPxP = tnn.Conv2d(in_channels, embedding_dim,
+                                            1)
+
+    def forward(self, x):
+        emb = self.embedding_convPxP(x).flatten(2)      # N, E, S
+        emb = tnn.functional.pad(emb, (1, 0))           # class token
+        emb = emb.permute(2, 0, 1)                      # S, N, E
+        S, N, E = emb.shape
+        pos = torch.arange(S, dtype=torch.float32).unsqueeze(1)
+        idx = torch.arange(0, E, 2, dtype=torch.float32).unsqueeze(0)
+        ang = pos * torch.exp(idx * (-torch.log(
+            torch.tensor(10000.0)) / E))
+        pe = torch.cat([torch.sin(ang), torch.cos(ang)], dim=1)
+        emb = emb + pe.unsqueeze(1)
+        return self.transformer_encoder(emb)            # S, N, E
+
+
+class TorchZoeDepthNK(TorchZoeDepth):
+    """ZoeD_M12_NK twin: shared DPT core + per-domain ModuleDict heads
+    + transformer router, with the NK checkpoint key schema
+    (zoedepth_nk_v1.py:97-157)."""
+
+    def __init__(self, img_size=(64, 64), dim=64, depth=8, heads=4,
+                 hooks=(1, 3, 5, 7), features=32,
+                 out_channels=(32, 64, 96, 96), n_bins=16,
+                 bin_embedding_dim=32, btlnck=48,
+                 n_attractors=(16, 8, 4, 1),
+                 domains=('nyu', 'kitti')):
+        super().__init__(img_size, dim, depth, heads, hooks, features,
+                         out_channels, n_bins, bin_embedding_dim,
+                         btlnck, n_attractors)
+        self.domains = domains
+        del self.seed_bin_regressor
+        emb_mid = bin_embedding_dim // 2
+        self.seed_projector = _TMLP2(btlnck, emb_mid, bin_embedding_dim)
+        self.projectors = tnn.ModuleList(
+            [_TMLP2(features, emb_mid, bin_embedding_dim)
+             for _ in range(4)])
+        self.seed_bin_regressors = tnn.ModuleDict(
+            {d: _TMLP2(btlnck, emb_mid, n_bins) for d in domains})
+        self.attractors = tnn.ModuleDict(
+            {d: tnn.ModuleList(
+                [_TMLP2(bin_embedding_dim, bin_embedding_dim,
+                        n_attractors[i]) for i in range(4)])
+             for d in domains})
+
+        class _TCLBD(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                cin = 32 + bin_embedding_dim
+                self.mlp = tnn.Sequential(
+                    tnn.Conv2d(cin, cin // 4, 1), tnn.GELU(),
+                    tnn.Conv2d(cin // 4, 4, 1))
+        self.conditional_log_binomial = tnn.ModuleDict(
+            {d: _TCLBD() for d in domains})
+        self.patch_transformer = _TPatchTransformer(btlnck)
+        self.mlp_classifier = tnn.Sequential(
+            tnn.Linear(128, 128), tnn.ReLU(), tnn.Linear(128, 2))
+
+    def forward(self, rgb01):
+        x = (rgb01 - 0.5) / 0.5
+        rel_depth, hooks = self._dpt(x)
+        btl = self.conv2(hooks['l4_rn'])
+
+        emb0 = self.patch_transformer(btl)[0]           # N, E
+        domain_logits = self.mlp_classifier(emb0)       # N, 2
+        vote = torch.softmax(domain_logits.sum(0, keepdim=True), -1)
+        name = self.domains[int(torch.argmax(vote, -1).squeeze())]
+
+        seed = tF.softplus(self.seed_bin_regressors[name](btl))
+        b_prev = seed
+        prev_emb = self.seed_projector(btl)
+        b_centers = b_prev
+        for i, lvl in enumerate(('r4', 'r3', 'r2', 'r1')):
+            emb = self.projectors[i](hooks[lvl])
+            pe = self._resize_ac(prev_emb, emb.shape[2], emb.shape[3])
+            A = tF.softplus(self.attractors[name][i](emb + pe))
+            bp = self._resize_ac(b_prev, emb.shape[2], emb.shape[3])
+            dx = A.unsqueeze(2) - bp.unsqueeze(1)
+            delta = (dx / (1 + 1000.0 * dx ** 2)).mean(1)
+            b = bp + delta
+            b_prev, prev_emb, b_centers = b, emb, b
+        last = hooks['out_conv']                        # no rel concat
+        emb_up = self._resize_ac(prev_emb, last.shape[2], last.shape[3])
+        cat = torch.cat([last, emb_up], 1)
+        pt = tF.softplus(
+            self.conditional_log_binomial[name].mlp(cat)) + 1e-4
+        p = pt[:, 0:1] / (pt[:, 0:1] + pt[:, 1:2])
+        t = pt[:, 2:3] / (pt[:, 2:3] + pt[:, 3:4])
+        t = (50.0 - 0.0212) * t + 0.0212
+        K = float(self.n_bins)
+        k = torch.arange(self.n_bins, dtype=torch.float32
+                         ).view(1, -1, 1, 1)
+        coef = (torch.lgamma(torch.tensor(K)) - torch.lgamma(k + 1)
+                - torch.lgamma(K - k))
+        pc = p.clamp(1e-4, 1.0)
+        omp = (1.0 - p).clamp(1e-4, 1.0)
+        y = coef + k * torch.log(pc) + (K - 1 - k) * torch.log(omp)
+        probs = torch.softmax(y / t, dim=1)
+        centers = self._resize_ac(b_centers, probs.shape[2],
+                                  probs.shape[3])
+        depth = (probs * centers).sum(1, keepdim=True)
+        return {'metric_depth': depth, 'rel_depth': rel_depth,
+                'domain_logits': domain_logits, 'domain': name}
+
+
 def randomize_(module, seed=0, scale=0.2):
     g = torch.Generator().manual_seed(seed)
     sd = module.state_dict()
