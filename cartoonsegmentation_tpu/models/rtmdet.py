@@ -143,7 +143,12 @@ class AnimeDetector(nn.Module):
         cls_out, reg_out, krn_out = RTMDetInsSepBNHead(
             dtype=self.dtype, name='bbox_head')(neck)
         mask_feat = MaskFeatModule(dtype=self.dtype, name='mask_head')(neck)
-        return cls_out, reg_out, krn_out, mask_feat
+        # emit f32 regardless of the compute dtype: postprocess (score
+        # sigmoid, box decode, NMS IoU, dynamic mask convs) runs in f32
+        f32 = lambda t: jnp.asarray(t, jnp.float32)
+        return (tuple(f32(c) for c in cls_out),
+                tuple(f32(r) for r in reg_out),
+                tuple(f32(k) for k in krn_out), f32(mask_feat))
 
 
 # ---------------------------------------------------------------------------

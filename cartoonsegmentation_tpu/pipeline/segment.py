@@ -36,11 +36,19 @@ class AnimeInsSeg:
     """
 
     def __init__(self, det_size: int = 640, mask_thr: float = 0.3,
-                 max_instances: int = 16, dtype: Optional[str] = None,
+                 max_instances: int = 16, dtype: Optional[str] = 'auto',
                  seed: int = 0):
         self.det_size = det_size
         self.mask_thr = mask_thr
         self.max_instances = max_instances
+        if dtype == 'auto':
+            # accelerator → bf16 compute (the reference runs its test
+            # pipeline in fp16 — the custom head carries an fp16 NaN
+            # guard, rtmdet_inshead_custom.py:30-31; bf16 is the TPU
+            # analogue and 2.3x faster, heads emit f32 either way);
+            # CPU (tests) → full f32.
+            dtype = None if jax.default_backend() == 'cpu' \
+                else 'bfloat16'
         self.model = AnimeDetector(dtype=dtype)
         self._variables = None
         self._seed = seed

@@ -115,6 +115,41 @@ def test_detector_forward_and_postprocess(rng):
     assert int(out['valid'].sum()) > 0
 
 
+def test_detector_bf16_matches_f32(rng):
+    """The bf16 inference path (AnimeDetector(dtype='bfloat16'), the
+    2.3x-throughput option benched in bench.py) must compute the same
+    function as f32 within bf16 rounding: same winning detection, box
+    coordinates within ~1px, high mask IoU. Params stay f32 (flax
+    `dtype` is the computation dtype only)."""
+    det32 = AnimeDetector(deepen=0.33, widen=0.25)
+    det16 = AnimeDetector(deepen=0.33, widen=0.25, dtype='bfloat16')
+    img = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    variables = det32.init(jax.random.PRNGKey(0), img)
+
+    outs = {}
+    for name, det in (('f32', det32), ('bf16', det16)):
+        cls_out, reg_out, krn_out, mask_feat = det.apply(variables, img)
+        assert cls_out[0].dtype == jnp.float32  # heads cast back
+        outs[name] = postprocess(
+            tuple(cls_out), tuple(reg_out), tuple(krn_out), mask_feat,
+            score_thr=0.0, pre_topk=64, max_det=8,
+            input_h=128, input_w=128)
+
+    a, b = outs['f32'], outs['bf16']
+    va = np.asarray(a['valid'])
+    assert va.any()
+    # top detection agrees
+    np.testing.assert_allclose(np.asarray(a['scores'])[0],
+                               np.asarray(b['scores'])[0], atol=0.02)
+    np.testing.assert_allclose(np.asarray(a['bboxes'])[0],
+                               np.asarray(b['bboxes'])[0], atol=1.5)
+    ma = np.asarray(a['masks'])[0]
+    mb = np.asarray(b['masks'])[0]
+    inter = (ma & mb).sum()
+    union = max((ma | mb).sum(), 1)
+    assert inter / union > 0.95
+
+
 def test_distance2bbox():
     priors = jnp.asarray([[10.0, 20.0]])
     dist = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
