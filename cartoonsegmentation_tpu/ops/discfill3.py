@@ -10,9 +10,10 @@ Refinement of discfill2 exploiting two facts:
 
 Per direction: one gather-free shear of the validity field (stride-
 reshape slices), two int32 `cummax` scans over packed (y, valid)
-keys, elementwise decode, gather-free unshear. Globally: two (H, W)
-depth gathers to pick the farther endpoint of the winning direction
-and the final fill copy. Bit-identical to discfill2/discfill-fast.
+keys, elementwise decode, gather-free unshear. Globally: ONE
+(2, H, W)-indexed gather of (img, depth) rows covers both endpoints
+of the winning direction — the farther-endpoint pick and the fill
+copy are then dense selects. Bit-identical to discfill2/discfill-fast.
 """
 from __future__ import annotations
 
@@ -92,6 +93,9 @@ def fill_disocclusion_fast3(img: jnp.ndarray, depth: jnp.ndarray
     valid_f = (depth > 0.0).astype(jnp.float32)
     valid_fT = valid_f.T
 
+    # dense strict-improvement where-chains — measured faster than any
+    # stack+argmin+take_along_axis formulation (those add HW-row
+    # gathers, the most expensive primitive here)
     best_d = jnp.full((H, W), BIG, jnp.float32)
     zeros = jnp.zeros((H, W), jnp.int32)
     by_f = bx_f = by_t = bx_t = zeros
@@ -112,15 +116,16 @@ def fill_disocclusion_fast3(img: jnp.ndarray, depth: jnp.ndarray
         by_t = jnp.where(better, yt, by_t)
         bx_t = jnp.where(better, xt, bx_t)
 
-    # endpoint depths only for the winning direction: 2 gathers
-    d_f = depth[by_f, bx_f]
-    d_t = depth[by_t, bx_t]
-    use_to = d_f < d_t
-    py, px = jnp.mgrid[0:H, 0:W]
+    # ONE gather for both endpoints' (img, depth) rows — gather cost
+    # on TPU is per ROW, so one (2, H, W)-indexed gather of C+1-wide
+    # rows beats the naive 3 gathers (d_from, d_to, final copy) by a
+    # third of the fill's gather traffic.
+    imgd = jnp.concatenate([img, depth[..., None]], -1)   # (H, W, C+1)
+    ys = jnp.stack([by_f, by_t])
+    xs = jnp.stack([bx_f, bx_t])
+    g = imgd[ys, xs]                                      # (2, H, W, C+1)
+    use_to = g[0, ..., -1] < g[1, ..., -1]                # d_f < d_t
+    src = jnp.where(use_to[..., None], g[1, ..., :-1], g[0, ..., :-1])
     hole = depth <= 0.0
     take = hole & (best_d < BIG)
-    src_y = jnp.where(take, jnp.where(use_to, by_t, by_f),
-                      py.astype(jnp.int32))
-    src_x = jnp.where(take, jnp.where(use_to, bx_t, bx_f),
-                      px.astype(jnp.int32))
-    return img[src_y, src_x]
+    return jnp.where(take[..., None], src, img)
