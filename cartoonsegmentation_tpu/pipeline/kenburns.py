@@ -587,9 +587,18 @@ class KenBurnsPipeline:
     def render_frames(self, state: KenBurnsState, obj_from: Dict,
                       obj_to: Dict, steps: np.ndarray,
                       depth_field: Optional[bool] = None,
-                      return_device: bool = False) -> np.ndarray:
+                      return_device: bool = False,
+                      mesh=None) -> np.ndarray:
         """Render all frames in one scan; returns (T, H, W, 3) uint8
-        (BGR). Parity: kenburns_effect.py:1015-1072."""
+        (BGR). Parity: kenburns_effect.py:1015-1072.
+
+        With ``mesh`` (a jax Mesh with a 'data' axis) the frame loop
+        is sharded over devices via shard_map: the point cloud is
+        replicated (it is identical for every frame) and each chip
+        scans its T/N slice of the camera path — frame-parallel
+        rendering with zero collectives. T is padded to a multiple of
+        the axis size by repeating the last camera; the pad frames
+        are dropped after the scan."""
         cfg = self.cfg
         if depth_field is None:
             depth_field = cfg.depth_field
@@ -604,9 +613,12 @@ class KenBurnsPipeline:
                                            state)[:3], np.float32)
             for t in steps])  # (T, 3): shift_u, shift_v, depth_scale
 
-        key = ('frames', H, W, state.cloud.capacity, T, max_cw, max_ch,
-               bool(depth_field), cfg.discfill_max_steps,
-               cfg.discfill_mode, cfg.render_payload_dtype)
+        n_shards = int(mesh.shape['data']) if mesh is not None else 1
+        T_pad = -(-T // n_shards) * n_shards
+
+        key = ('frames', H, W, state.cloud.capacity, T_pad, max_cw,
+               max_ch, bool(depth_field), cfg.discfill_max_steps,
+               cfg.discfill_mode, cfg.render_payload_dtype, n_shards)
         if key not in self._jit_cache:
             focal, baseline = cfg.focal, cfg.baseline
             dcfg = (cfg.dof_num_samples, cfg.lightness_factor,
@@ -649,8 +661,7 @@ class KenBurnsPipeline:
                 return (jnp.clip(frame, 0.0, 1.0) * 255.0 + 0.5
                         ).astype(jnp.uint8)
 
-            @jax.jit
-            def fn(state, cams):
+            def focal_planes(state, cams):
                 # focal planes from the t=0 frame (reference computes
                 # them at frame_idx==0; kenburns_effect.py:1045-1059)
                 if depth_field:
@@ -686,7 +697,9 @@ class KenBurnsPipeline:
                 else:
                     fp_start = jnp.float32(0.0)
                     fp_end = jnp.float32(255.0)
+                return fp_start, fp_end
 
+            def scan_frames(state, cams, fp_start, fp_end):
                 # NOTE: the state is closed over (a scan *constant*),
                 # not carried — carrying the ~40MB pytree made XLA
                 # copy it every iteration (~200ms/frame at 1024).
@@ -695,11 +708,38 @@ class KenBurnsPipeline:
                                              (fp_start, fp_end))
                 _, frames = jax.lax.scan(step, 0, cams)
                 return frames
+
+            if mesh is None:
+                @jax.jit
+                def fn(state, cams):
+                    fp_start, fp_end = focal_planes(state, cams)
+                    return scan_frames(state, cams, fp_start, fp_end)
+            else:
+                shard_map = getattr(jax, 'shard_map', None)
+                if shard_map is None:  # older jax
+                    from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as PS
+                sharded_scan = shard_map(
+                    scan_frames, mesh=mesh,
+                    in_specs=(PS(), PS('data'), PS(), PS()),
+                    out_specs=PS('data'))
+
+                @jax.jit
+                def fn(state, cams):
+                    # focal planes come from the GLOBAL first frame —
+                    # computed replicated, outside the shard so every
+                    # chip blurs against the same plane
+                    fp_start, fp_end = focal_planes(state, cams)
+                    return sharded_scan(state, cams, fp_start, fp_end)
             self._jit_cache[key] = fn
 
         cams_t = np.concatenate(
             [cams, np.asarray(steps, np.float32)[:, None]], 1)
+        if T_pad != T:
+            cams_t = np.concatenate(
+                [cams_t, np.repeat(cams_t[-1:], T_pad - T, axis=0)], 0)
         frames = self._jit_cache[key](state, jnp.asarray(cams_t))
+        frames = frames[:T]
         if return_device:
             return frames
         return np.asarray(jax.device_get(frames))
@@ -707,7 +747,8 @@ class KenBurnsPipeline:
     # -- orchestration -----------------------------------------------------
     def process_kenburns(self, state: KenBurnsState, obj_from: Dict,
                          obj_to: Dict, steps=None, inpaint: bool = True,
-                         return_device: bool = False) -> np.ndarray:
+                         return_device: bool = False,
+                         mesh=None) -> np.ndarray:
         cfg = self.cfg
         if steps is None:
             steps = np.linspace(0.0, 1.0, cfg.num_frame)
@@ -721,7 +762,7 @@ class KenBurnsPipeline:
         state = self.compact_state(state)
         with self.timer.time('render_frames'):
             frames = self.render_frames(state, obj_from, obj_to, steps,
-                                        return_device=True)
+                                        return_device=True, mesh=mesh)
             jax.block_until_ready(frames)
         if return_device:
             return frames

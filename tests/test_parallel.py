@@ -70,3 +70,28 @@ def test_dp_train_step_on_mesh(rng):
     p0 = jax.tree_util.tree_leaves(state.params)[0]
     p1 = jax.tree_util.tree_leaves(state3.params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_frame_sharded_render_matches_single(rng):
+    """Frame-parallel rendering over the 8-device mesh must produce
+    byte-identical frames to the single-device scan (the point cloud
+    is replicated; each chip scans its slice of the camera path).
+    T=5 also exercises the pad-to-multiple-of-8 path."""
+    from cartoonsegmentation_tpu.config import KenBurnsConfig
+    from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
+
+    cfg = KenBurnsConfig(max_size=64, num_frame=5, depth_field=True,
+                         point_capacity_factor=1.5,
+                         discfill_max_steps=16, auto_zoom=True)
+    pipe = KenBurnsPipeline(cfg)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    state = pipe.generate_state(img)
+    obj_from, obj_to = pipe.autozoom(state)
+    steps = np.linspace(0.0, 1.0, cfg.num_frame)
+
+    single = pipe.render_frames(state, obj_from, obj_to, steps)
+    mesh = make_mesh(8, data=8, model=1)
+    sharded = pipe.render_frames(state, obj_from, obj_to, steps,
+                                 mesh=mesh)
+    assert sharded.shape == single.shape == (5, 48, 64, 3)
+    np.testing.assert_array_equal(sharded, single)
