@@ -816,7 +816,8 @@ def write_video(frames: np.ndarray, path: str, fps: int = 25,
 
 
 def stream_video(frames_device, path: str, fps: int = 25,
-                 playback: bool = True, chunk: int = 8) -> np.ndarray:
+                 playback: bool = True, chunk: int = 8,
+                 yuv420: bool = True) -> np.ndarray:
     """Chunked device→host transfer overlapped with mp4 encoding.
 
     The axon-tunnel transfer of a full (T, H, W, 3) u8 clip is the
@@ -824,9 +825,22 @@ def stream_video(frames_device, path: str, fps: int = 25,
     75 frames); starting the async copy of chunk i+1 before encoding
     chunk i hides the encode time inside the transfer (and vice versa
     on faster links). The palindrome second half reuses host frames —
-    no second transfer. Returns the forward frames on host."""
+    no second transfer. Returns the forward frames on host.
+
+    With ``yuv420`` (default) frames are converted to I420 on device
+    first — mp4 stores 4:2:0 chroma anyway, so this halves the bytes
+    over the link (1.5 B/px vs 3) at no cost to the encoded video;
+    the host converts back with one cv2.cvtColor per frame. Falls
+    back to BGR transfer when the frame shape can't be I420-packed."""
     import cv2
     T, h, w = frames_device.shape[:3]
+    if yuv420 and h % 4 == 0 and w % 2 == 0 and T > 0:
+        from ..utils.image import bgr_to_i420
+        frames_device = jax.jit(bgr_to_i420)(frames_device)
+        decode = lambda arr: np.stack(
+            [cv2.cvtColor(f, cv2.COLOR_YUV2BGR_I420) for f in arr])
+    else:
+        decode = lambda arr: arr
     chunks = [frames_device[i:i + chunk] for i in range(0, T, chunk)]
     for c in chunks:
         try:
@@ -837,7 +851,7 @@ def stream_video(frames_device, path: str, fps: int = 25,
                          (w, h))
     host_chunks = []
     for c in chunks:
-        arr = np.asarray(c)
+        arr = decode(np.asarray(c))
         host_chunks.append(arr)
         for f in arr:
             vw.write(f)

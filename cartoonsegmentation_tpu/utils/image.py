@@ -171,3 +171,50 @@ def crop_center_resize(frame: jnp.ndarray, crop_h: int, crop_w: int,
 def to_float_chw(img: np.ndarray) -> np.ndarray:
     """uint8 HWC -> float32 HWC in [0,1] (we keep NHWC on TPU)."""
     return img.astype(np.float32) / 255.0
+
+
+def bgr_to_i420(frames: jnp.ndarray) -> jnp.ndarray:
+    """(T, H, W, 3) BGR uint8 → (T, H*3/2, W) uint8 in I420 layout.
+
+    Device-side chroma subsampling for the video transfer path: mp4
+    stores YUV 4:2:0 anyway, so converting BEFORE the device→host
+    copy halves the bytes moved (1.5 B/px vs 3) with zero loss in the
+    encoded output. Bit-exact re-implementation of OpenCV's
+    COLOR_BGR2YUV_I420 (limited-range BT.601, chroma from the
+    top-left pixel of each 2x2 block), using OpenCV's 20-bit
+    fixed-point ITU-R BT.601 constants (modules/imgproc/src/
+    color_yuv.simd.hpp) so the output is byte-identical to cv2's.
+
+    Layout per frame: H rows of Y, then the (H/2, W/2) U plane packed
+    row-major into H/4 rows of width W, then V likewise. Requires
+    H % 4 == 0 and W % 2 == 0 (use the plain BGR path otherwise).
+    Host-side inverse: cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR_I420).
+    """
+    T, H, W = frames.shape[:3]
+    assert H % 4 == 0 and W % 2 == 0, (H, W)
+    b = frames[..., 0].astype(jnp.int32)
+    g = frames[..., 1].astype(jnp.int32)
+    r = frames[..., 2].astype(jnp.int32)
+    SH, HALF = 20, 1 << 19
+    CRY, CGY, CBY = 269484, 528482, 102760
+    CRU, CGU, CBU = -155188, -305135, 460324
+    CGV, CBV = -385875, -74701
+    y = (CRY * r + CGY * g + CBY * b + (16 << SH) + HALF) >> SH
+    # chroma from the top-left pixel of each 2x2 block (cv2 strides,
+    # it does not average)
+    rs, gs, bs = r[:, ::2, ::2], g[:, ::2, ::2], b[:, ::2, ::2]
+    u = (CRU * rs + CGU * gs + CBU * bs + (128 << SH) + HALF) >> SH
+    v = (CBU * rs + CGV * gs + CBV * bs + (128 << SH) + HALF) >> SH
+    out = jnp.concatenate([
+        y.astype(jnp.uint8),
+        u.astype(jnp.uint8).reshape(T, H // 4, W),
+        v.astype(jnp.uint8).reshape(T, H // 4, W),
+    ], axis=1)
+    return out
+
+
+def i420_to_bgr_host(yuv: np.ndarray) -> np.ndarray:
+    """(T, H*3/2, W) uint8 I420 → (T, H, W, 3) BGR uint8 (host cv2)."""
+    import cv2
+    return np.stack([cv2.cvtColor(f, cv2.COLOR_YUV2BGR_I420)
+                     for f in np.asarray(yuv)])
