@@ -51,6 +51,12 @@ class KenBurnsConfig:
     default_depth_refine: bool = False      # run the Refine net
     refine_crf: bool = False                # CPU CRF refinement path
     scale_depth: bool = False
+    # marigold diffusion depth (reference marigold_kwargs defaults,
+    # utils/apply_marigold.py:8)
+    marigold_steps: int = 4
+    marigold_ensemble: int = 5
+    marigold_res: int = 768
+    marigold_scheduler: str = 'lcm'         # lcm | ddim
 
     # --- ken burns camera / render ---
     num_frame: int = 75
@@ -130,6 +136,13 @@ def build_kenburns_cfg(src: Union[str, Dict[str, Any], KenBurnsConfig, None]
                 kw['refine_method'] = v['refine_method']
             if 'refine_size' in v:
                 kw['refine_size'] = int(v['refine_size'])
+        elif k == 'marigold_kwargs' and isinstance(v, dict):
+            _mk = {'denoise_steps': 'marigold_steps',
+                   'ensemble_size': 'marigold_ensemble',
+                   'processing_res': 'marigold_res'}
+            for ok, ov in v.items():
+                if ok in _mk:
+                    kw[_mk[ok]] = int(ov)
         elif k == 'ldm_inpaint_options' and isinstance(v, dict):
             opt_names = {f.name for f in fields(LDMInpaintOptions)}
             kw['ldm_inpaint_options'] = LDMInpaintOptions(

@@ -249,9 +249,9 @@ class KenBurnsPipeline:
 
     def _estimate_disparity(self, image: jnp.ndarray) -> jnp.ndarray:
         """Run the configured depth estimator → (H, W, 1) disparity at
-        image resolution. 'leres' (the shipped default) and 'default'
-        (3D-Ken-Burns disparity net) are native; 'zoe'/'marigold' fall
-        back to leres with a warning until their Flax ports land."""
+        image resolution. All five reference estimators are native:
+        'leres' (shipped default), 'leres_boost', 'default'
+        (3D-Ken-Burns disparity net), 'zoe'/'zoe_nk', 'marigold'."""
         cfg = self.cfg
         if cfg.depth_est == 'default':
             return self._est_default(image)
@@ -261,10 +261,54 @@ class KenBurnsPipeline:
             return self._est_zoe(image, nk=True)
         if cfg.depth_est == 'leres_boost':
             return self._est_leres_boost(image)
+        if cfg.depth_est == 'marigold':
+            return self._est_marigold(image)
         if cfg.depth_est not in ('leres',):
-            LOGGER.warning(f'depth_est={cfg.depth_est} not yet ported; '
+            LOGGER.warning(f'unknown depth_est={cfg.depth_est}; '
                            'using leres')
         return self._est_leres(image)
+
+    def _est_marigold(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Marigold latent-diffusion depth (native, models/marigold.py)
+        → disparity. Parity: kenburns_effect.py:554-561 — depth∈[0,1],
+        zeros→min positive, disp=(1-depth)*255. The reference feeds
+        its BGR ndarray to PIL unconverted (apply_marigold.py:32);
+        we convert to the RGB the model was trained on."""
+        from ..models.marigold import MarigoldDepth
+        cfg = self.cfg
+        if getattr(self, '_marigold', None) is None:
+            self._marigold = MarigoldDepth(
+                processing_res=cfg.marigold_res,
+                denoise_steps=cfg.marigold_steps,
+                ensemble_size=cfg.marigold_ensemble,
+                scheduler=cfg.marigold_scheduler, seed=self._seed)
+        img_u8 = np.asarray(
+            jnp.clip(image[..., ::-1], 0, 1) * 255).astype(np.uint8)
+        depth = self._marigold(img_u8)            # (H, W) in [0, 1]
+        pos = depth[depth > 0]
+        if pos.size:
+            depth = np.where(depth == 0, pos.min(), depth)
+        disp = (1.0 - depth) * 255.0
+        return jnp.asarray(disp[..., None].astype(np.float32))
+
+    def load_marigold_checkpoint(self, unet_path: str, vae_path: str,
+                                 text_path: Optional[str] = None
+                                 ) -> None:
+        """Load a Marigold checkpoint directory's unet/vae (and
+        optionally text_encoder) torch weight files."""
+        from ..models.convert import load_torch_ckpt
+        from ..models.marigold import MarigoldDepth, convert_marigold
+        cfg = self.cfg
+        if getattr(self, '_marigold', None) is None:
+            self._marigold = MarigoldDepth(
+                processing_res=cfg.marigold_res,
+                denoise_steps=cfg.marigold_steps,
+                ensemble_size=cfg.marigold_ensemble,
+                scheduler=cfg.marigold_scheduler, seed=self._seed)
+        self._marigold.variables = convert_marigold(
+            load_torch_ckpt(unet_path), load_torch_ckpt(vae_path),
+            load_torch_ckpt(text_path) if text_path else None,
+            model=self._marigold)
 
     def _est_leres_boost(self, image: jnp.ndarray) -> jnp.ndarray:
         """BoostingMonoDepth: LeReS double-estimation + gradient-dense

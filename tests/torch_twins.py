@@ -1075,3 +1075,330 @@ def randomize_(module, seed=0, scale=0.2):
             sd[k] = torch.randn(v.shape, generator=g) * scale
     module.load_state_dict(sd)
     return module
+
+
+# -- latent diffusion (diffusers UNet2DConditionModel / AutoencoderKL
+#    key schema: unet|vae/diffusion_pytorch_model.*) -------------------
+
+import math as _math
+
+
+class TLDMResnet(tnn.Module):
+    def __init__(self, cin, cout, temb_ch=None, eps=1e-5):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(32, cin, eps=eps)
+        self.conv1 = tnn.Conv2d(cin, cout, 3, 1, 1)
+        if temb_ch:
+            self.time_emb_proj = tnn.Linear(temb_ch, cout)
+        self.norm2 = tnn.GroupNorm(32, cout, eps=eps)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1)
+        if cin != cout:
+            self.conv_shortcut = tnn.Conv2d(cin, cout, 1)
+
+    def forward(self, x, temb=None):
+        h = self.conv1(tnn.functional.silu(self.norm1(x)))
+        if temb is not None:
+            h = h + self.time_emb_proj(
+                tnn.functional.silu(temb))[:, :, None, None]
+        h = self.conv2(tnn.functional.silu(self.norm2(h)))
+        skip = self.conv_shortcut(x) if hasattr(self, 'conv_shortcut') \
+            else x
+        return skip + h
+
+
+class TLDMAttention(tnn.Module):
+    def __init__(self, ch, heads, ctx=None):
+        super().__init__()
+        self.heads = heads
+        self.to_q = tnn.Linear(ch, ch, bias=False)
+        self.to_k = tnn.Linear(ctx or ch, ch, bias=False)
+        self.to_v = tnn.Linear(ctx or ch, ch, bias=False)
+        self.to_out = tnn.Sequential(tnn.Linear(ch, ch), tnn.Dropout(0.0))
+
+    def forward(self, x, context=None):
+        ctx = x if context is None else context
+        B, Nq, C = x.shape
+        h, d = self.heads, C // self.heads
+        q = self.to_q(x).view(B, Nq, h, d).transpose(1, 2)
+        k = self.to_k(ctx).view(B, -1, h, d).transpose(1, 2)
+        v = self.to_v(ctx).view(B, -1, h, d).transpose(1, 2)
+        a = (q @ k.transpose(-1, -2)) / _math.sqrt(d)
+        out = (a.softmax(-1) @ v).transpose(1, 2).reshape(B, Nq, C)
+        return self.to_out(out)
+
+
+class TGEGLU(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.proj = tnn.Linear(cin, cout * 2)
+
+    def forward(self, x):
+        h, gate = self.proj(x).chunk(2, dim=-1)
+        return h * tnn.functional.gelu(gate)
+
+
+class TLDMBasicBlock(tnn.Module):
+    def __init__(self, ch, heads, ctx):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(ch)
+        self.attn1 = TLDMAttention(ch, heads)
+        self.norm2 = tnn.LayerNorm(ch)
+        self.attn2 = TLDMAttention(ch, heads, ctx=ctx)
+        self.norm3 = tnn.LayerNorm(ch)
+        self.ff = tnn.Module()
+        self.ff.net = tnn.ModuleList([
+            TGEGLU(ch, ch * 4), tnn.Dropout(0.0), tnn.Linear(ch * 4, ch)])
+
+    def forward(self, x, context):
+        x = x + self.attn1(self.norm1(x))
+        x = x + self.attn2(self.norm2(x), context)
+        h = self.ff.net[0](self.norm3(x))
+        return x + self.ff.net[2](self.ff.net[1](h))
+
+
+class TLDMTransformer2D(tnn.Module):
+    """use_linear_projection=True variant (the SD2 configuration)."""
+
+    def __init__(self, ch, heads, ctx, depth=1):
+        super().__init__()
+        self.norm = tnn.GroupNorm(32, ch, eps=1e-6)
+        self.proj_in = tnn.Linear(ch, ch)
+        self.transformer_blocks = tnn.ModuleList(
+            [TLDMBasicBlock(ch, heads, ctx) for _ in range(depth)])
+        self.proj_out = tnn.Linear(ch, ch)
+
+    def forward(self, x, context):
+        B, C, H, W = x.shape
+        res = x
+        h = self.norm(x).permute(0, 2, 3, 1).reshape(B, H * W, C)
+        h = self.proj_in(h)
+        for blk in self.transformer_blocks:
+            h = blk(h, context)
+        h = self.proj_out(h)
+        return h.reshape(B, H, W, C).permute(0, 3, 1, 2) + res
+
+
+def _t_downsampler(cout, vae=False):
+    m = tnn.Module()
+    m.conv = tnn.Conv2d(cout, cout, 3, 2, 0 if vae else 1)
+    if vae:
+        m.forward = lambda x: m.conv(
+            tnn.functional.pad(x, (0, 1, 0, 1)))
+    else:
+        m.forward = lambda x: m.conv(x)
+    return m
+
+
+def _t_upsampler(cout):
+    m = tnn.Module()
+    m.conv = tnn.Conv2d(cout, cout, 3, 1, 1)
+    m.forward = lambda x: m.conv(
+        tnn.functional.interpolate(x, scale_factor=2, mode='nearest'))
+    return m
+
+
+class TorchUNet2DCondition(tnn.Module):
+    """Tiny diffusers-schema UNet2DConditionModel twin."""
+
+    def __init__(self, in_ch=8, out_ch=4, block_out=(32, 64),
+                 layers_per_block=1, heads=(1, 2),
+                 cross_attn=(True, False), ctx=16):
+        super().__init__()
+        self.block_out, self.lpb = block_out, layers_per_block
+        self.cross = cross_attn
+        temb = block_out[0] * 4
+        self.conv_in = tnn.Conv2d(in_ch, block_out[0], 3, 1, 1)
+        self.time_embedding = tnn.Module()
+        self.time_embedding.linear_1 = tnn.Linear(block_out[0], temb)
+        self.time_embedding.linear_2 = tnn.Linear(temb, temb)
+        n = len(block_out)
+        self.down_blocks = tnn.ModuleList()
+        ch = block_out[0]
+        for i, c in enumerate(block_out):
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList(
+                [TLDMResnet(ch if j == 0 else c, c, temb)
+                 for j in range(layers_per_block)])
+            if cross_attn[i]:
+                blk.attentions = tnn.ModuleList(
+                    [TLDMTransformer2D(c, heads[i], ctx)
+                     for _ in range(layers_per_block)])
+            if i < n - 1:
+                blk.downsamplers = tnn.ModuleList([_t_downsampler(c)])
+            self.down_blocks.append(blk)
+            ch = c
+        self.mid_block = tnn.Module()
+        self.mid_block.resnets = tnn.ModuleList(
+            [TLDMResnet(ch, ch, temb), TLDMResnet(ch, ch, temb)])
+        self.mid_block.attentions = tnn.ModuleList(
+            [TLDMTransformer2D(ch, heads[-1], ctx)])
+        self.up_blocks = tnn.ModuleList()
+        for k in range(n):
+            i = n - 1 - k
+            c = block_out[i]
+            blk = tnn.Module()
+            rs = []
+            for j in range(layers_per_block + 1):
+                # skip channels: reverse order of what was pushed
+                skip_c = self._skip_ch(i, j)
+                rs.append(TLDMResnet(ch + skip_c, c, temb))
+                ch = c
+            blk.resnets = tnn.ModuleList(rs)
+            if cross_attn[i]:
+                blk.attentions = tnn.ModuleList(
+                    [TLDMTransformer2D(c, heads[i], ctx)
+                     for _ in range(layers_per_block + 1)])
+            if i > 0:
+                blk.upsamplers = tnn.ModuleList([_t_upsampler(c)])
+            self.up_blocks.append(blk)
+        self.conv_norm_out = tnn.GroupNorm(32, block_out[0], eps=1e-5)
+        self.conv_out = tnn.Conv2d(block_out[0], out_ch, 3, 1, 1)
+
+    def _skip_ch(self, i, j):
+        """Channel width of the skip popped at up level i, slot j."""
+        bo, lpb = self.block_out, self.lpb
+        n = len(bo)
+        # stack: [conv_in] + per level: lpb outputs + (downsample out)
+        stack = [bo[0]]
+        for ii, c in enumerate(bo):
+            stack += [c] * lpb
+            if ii < n - 1:
+                stack.append(c)
+        # pops happen deepest level first
+        idx = sum(lpb + 1 for _ in range(n - 1 - i)) + j
+        return stack[-(idx + 1)]
+
+    def forward(self, x, t, context):
+        half = self.block_out[0] // 2
+        freqs = torch.exp(
+            -_math.log(10000.0) * torch.arange(half, dtype=torch.float32)
+            / half)
+        emb = t.float()[:, None] * freqs[None]
+        emb = torch.cat([emb.cos(), emb.sin()], dim=-1)
+        temb = self.time_embedding.linear_2(tnn.functional.silu(
+            self.time_embedding.linear_1(emb)))
+        h = self.conv_in(x)
+        skips = [h]
+        for i, blk in enumerate(self.down_blocks):
+            for j, r in enumerate(blk.resnets):
+                h = r(h, temb)
+                if hasattr(blk, 'attentions'):
+                    h = blk.attentions[j](h, context)
+                skips.append(h)
+            if hasattr(blk, 'downsamplers'):
+                h = blk.downsamplers[0](h)
+                skips.append(h)
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h, context)
+        h = self.mid_block.resnets[1](h, temb)
+        for blk in self.up_blocks:
+            for j, r in enumerate(blk.resnets):
+                h = torch.cat([h, skips.pop()], dim=1)
+                h = r(h, temb)
+                if hasattr(blk, 'attentions'):
+                    h = blk.attentions[j](h, context)
+            if hasattr(blk, 'upsamplers'):
+                h = blk.upsamplers[0](h)
+        h = tnn.functional.silu(self.conv_norm_out(h))
+        return self.conv_out(h)
+
+
+class TLDMVAEAttn(tnn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.group_norm = tnn.GroupNorm(32, ch, eps=1e-6)
+        self.to_q = tnn.Linear(ch, ch)
+        self.to_k = tnn.Linear(ch, ch)
+        self.to_v = tnn.Linear(ch, ch)
+        self.to_out = tnn.Sequential(tnn.Linear(ch, ch), tnn.Dropout(0.0))
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        h = self.group_norm(x).permute(0, 2, 3, 1).reshape(B, H * W, C)
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        a = (q @ k.transpose(-1, -2)) / _math.sqrt(C)
+        out = self.to_out(a.softmax(-1) @ v)
+        return x + out.reshape(B, H, W, C).permute(0, 3, 1, 2)
+
+
+class TorchAutoencoderKL(tnn.Module):
+    """Tiny diffusers-schema AutoencoderKL twin (encoder+decoder)."""
+
+    def __init__(self, block_out=(32, 64), layers_per_block=1,
+                 latent_ch=4, img_ch=3):
+        super().__init__()
+        n = len(block_out)
+        enc = tnn.Module()
+        enc.conv_in = tnn.Conv2d(img_ch, block_out[0], 3, 1, 1)
+        enc.down_blocks = tnn.ModuleList()
+        ch = block_out[0]
+        for i, c in enumerate(block_out):
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList(
+                [TLDMResnet(ch if j == 0 else c, c, None, eps=1e-6)
+                 for j in range(layers_per_block)])
+            if i < n - 1:
+                blk.downsamplers = tnn.ModuleList(
+                    [_t_downsampler(c, vae=True)])
+            enc.down_blocks.append(blk)
+            ch = c
+        enc.mid_block = tnn.Module()
+        enc.mid_block.resnets = tnn.ModuleList(
+            [TLDMResnet(ch, ch, None, eps=1e-6),
+             TLDMResnet(ch, ch, None, eps=1e-6)])
+        enc.mid_block.attentions = tnn.ModuleList([TLDMVAEAttn(ch)])
+        enc.conv_norm_out = tnn.GroupNorm(32, ch, eps=1e-6)
+        enc.conv_out = tnn.Conv2d(ch, 2 * latent_ch, 3, 1, 1)
+        self.encoder = enc
+        self.quant_conv = tnn.Conv2d(2 * latent_ch, 2 * latent_ch, 1)
+        self.post_quant_conv = tnn.Conv2d(latent_ch, latent_ch, 1)
+        dec = tnn.Module()
+        dec.conv_in = tnn.Conv2d(latent_ch, block_out[-1], 3, 1, 1)
+        dec.mid_block = tnn.Module()
+        dec.mid_block.resnets = tnn.ModuleList(
+            [TLDMResnet(block_out[-1], block_out[-1], None, eps=1e-6),
+             TLDMResnet(block_out[-1], block_out[-1], None, eps=1e-6)])
+        dec.mid_block.attentions = tnn.ModuleList(
+            [TLDMVAEAttn(block_out[-1])])
+        dec.up_blocks = tnn.ModuleList()
+        ch = block_out[-1]
+        for k in range(n):
+            c = list(reversed(block_out))[k]
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList(
+                [TLDMResnet(ch if j == 0 else c, c, None, eps=1e-6)
+                 for j in range(layers_per_block + 1)])
+            if k < n - 1:
+                blk.upsamplers = tnn.ModuleList([_t_upsampler(c)])
+            dec.up_blocks.append(blk)
+            ch = c
+        dec.conv_norm_out = tnn.GroupNorm(32, block_out[0], eps=1e-6)
+        dec.conv_out = tnn.Conv2d(block_out[0], img_ch, 3, 1, 1)
+        self.decoder = dec
+
+    def encode(self, x):
+        e = self.encoder
+        h = e.conv_in(x)
+        for blk in e.down_blocks:
+            for r in blk.resnets:
+                h = r(h)
+            if hasattr(blk, 'downsamplers'):
+                h = blk.downsamplers[0](h)
+        h = e.mid_block.resnets[0](h)
+        h = e.mid_block.attentions[0](h)
+        h = e.mid_block.resnets[1](h)
+        h = e.conv_out(tnn.functional.silu(e.conv_norm_out(h)))
+        return self.quant_conv(h).chunk(2, dim=1)
+
+    def decode(self, z):
+        d = self.decoder
+        h = d.conv_in(self.post_quant_conv(z))
+        h = d.mid_block.resnets[0](h)
+        h = d.mid_block.attentions[0](h)
+        h = d.mid_block.resnets[1](h)
+        for blk in d.up_blocks:
+            for r in blk.resnets:
+                h = r(h)
+            if hasattr(blk, 'upsamplers'):
+                h = blk.upsamplers[0](h)
+        return d.conv_out(tnn.functional.silu(d.conv_norm_out(h)))
