@@ -139,6 +139,17 @@ class KenBurnsPipeline:
                                           self.cfg.refine_size)
                 self._detector = seg
                 return
+            if detector == 'sam':
+                # the reference's configs/3dkenburns_sam.yaml depends
+                # on the external segment-anything checkpoint; the
+                # box-prompt seam here is
+                # AnimeInsSeg.segment_with_bboxes — pass any callable
+                # img→Instances built on it
+                raise NotImplementedError(
+                    "detector 'sam' needs an external SAM model; "
+                    'wrap it as a callable img->Instances (see '
+                    'AnimeInsSeg.segment_with_bboxes) and pass it to '
+                    'set_detector')
             raise NotImplementedError(f'Invalid detector: {detector}')
         self._detector = detector
 

@@ -39,6 +39,7 @@ def long_side_to(h: int, w: int, long_side: int):
 @dataclass
 class StyleConfig:
     url: str = 'http://127.0.0.1:7860/sdapi/v1/img2img'
+    onebyone: bool = True     # per-instance inpaints vs one joint mask
     style_prompt: str = ''
     bg_nprompt: str = ''
     global_nprompt: str = ''
@@ -56,6 +57,20 @@ class StyleConfig:
     cache_masks_dir: str = 'workspace/style_cache'
     save_dir: str = 'repaint_output'
     auth: Optional[tuple] = None
+
+
+def style_config_from_yaml(src) -> StyleConfig:
+    """Load a reference-format style yaml (configs/3d_pixar.yaml
+    schema: style_prompt/niter/global_nprompt/url/sd_params/...).
+    Unknown keys are ignored; sd_params passes through verbatim."""
+    import dataclasses
+    from ..config import load_yaml
+    raw = load_yaml(src)
+    names = {f.name for f in dataclasses.fields(StyleConfig)}
+    kw = {k: v for k, v in raw.items() if k in names}
+    if raw.get('sd_params'):
+        kw['sd_params'] = dict(raw['sd_params'])
+    return StyleConfig(**kw)
 
 
 class StyleEditor:
@@ -202,7 +217,12 @@ class StyleEditor:
                                  bg_repainted[..., :3] * (1 - alpha)
                                  ).astype(np.uint8)
 
-            for fg_prompt, mask in zip(fg_prompts, masks):
+            if cfg.onebyone:
+                fg_jobs = list(zip(fg_prompts, masks))
+            else:  # one joint inpaint over the union mask
+                fg_jobs = [(','.join(p for p in fg_prompts if p),
+                            mask_fg)]
+            for fg_prompt, mask in fg_jobs:
                 prompt = (cfg.style_prompt + ',' +
                           (fg_prompt + ',' if cfg.apply_fg_tagger else '')
                           ).strip(',')

@@ -12,6 +12,10 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--img_path', required=True)
+    ap.add_argument('--cfg', default='',
+                    help='style yaml (reference configs/3d_pixar.yaml '
+                         'schema); CLI flags override its fields when '
+                         'given explicitly')
     ap.add_argument('--style-prompt', default='')
     ap.add_argument('--bg_nprompt', default='')
     ap.add_argument('--global-nprompt', default='')
@@ -47,16 +51,32 @@ def main():
         detector.load_torch_checkpoint(args.detector_ckpt)
     detector.set_refine_method('refinenet_isnet')
 
-    cfg = StyleConfig(
-        url=args.url, style_prompt=args.style_prompt,
-        bg_nprompt=args.bg_nprompt, global_nprompt=args.global_nprompt,
-        long_side=args.long_side, niter=args.niter,
-        random_seed=args.random_seed,
-        denoising_strength=args.denoising_strength,
-        cache_masks_dir=args.cache_masks_dir, save_dir=args.save_dir,
-        sd_params={'steps': args.steps, 'cfg_scale': args.cfg_scale,
-                   'sampler_name': args.sample_name, 'seed': 0,
-                   'alwayson_scripts': {'controlnet': {'args': [{}]}}})
+    if args.cfg:
+        from cartoonsegmentation_tpu.pipeline.style import \
+            style_config_from_yaml
+        import dataclasses
+        cfg = style_config_from_yaml(args.cfg)
+        # explicit CLI flags override the yaml
+        overrides = {}
+        defaults = ap.parse_args([f'--img_path={args.img_path}'])
+        for f in dataclasses.fields(cfg):
+            if hasattr(args, f.name) and \
+                    getattr(args, f.name) != getattr(defaults, f.name):
+                overrides[f.name] = getattr(args, f.name)
+        cfg = dataclasses.replace(cfg, **overrides)
+    else:
+        cfg = StyleConfig(
+            url=args.url, style_prompt=args.style_prompt,
+            bg_nprompt=args.bg_nprompt,
+            global_nprompt=args.global_nprompt,
+            long_side=args.long_side, niter=args.niter,
+            random_seed=args.random_seed,
+            denoising_strength=args.denoising_strength,
+            cache_masks_dir=args.cache_masks_dir,
+            save_dir=args.save_dir,
+            sd_params={'steps': args.steps, 'cfg_scale': args.cfg_scale,
+                       'sampler_name': args.sample_name, 'seed': 0,
+                       'alwayson_scripts': {'controlnet': {'args': [{}]}}})
     tagger = None
     if args.tagger_ckpt or args.allow_stub_tagger:
         from cartoonsegmentation_tpu.models.tagger import Tagger

@@ -138,3 +138,60 @@ def test_style_editor_full_loop(rng, tmp_path):
     saved2 = editor2.repaint(img, 'testimg')
     srv2.shutdown()
     assert len(saved2) == 1
+
+
+def test_style_config_from_yaml(tmp_path):
+    """Reference-format style yaml (configs/3d_pixar.yaml schema)
+    loads into StyleConfig; unknown keys ignored; shipped preset
+    parses."""
+    from cartoonsegmentation_tpu.pipeline.style import \
+        style_config_from_yaml
+    cfg = style_config_from_yaml({
+        'onebyone': False, 'style_prompt': 'oil painting', 'niter': 2,
+        'url': 'http://x/img2img', 'long_side': 512,
+        'sd_params': {'steps': 9}, 'not_a_field': 1})
+    assert cfg.onebyone is False
+    assert cfg.style_prompt == 'oil painting'
+    assert cfg.niter == 2 and cfg.long_side == 512
+    assert cfg.sd_params == {'steps': 9}
+    shipped = style_config_from_yaml('configs/3d_pixar.yaml')
+    assert shipped.niter == 3
+    assert 'pixar' in shipped.style_prompt
+    assert shipped.sd_params['sampler_name'] == 'DPM++ 2M Karras'
+
+
+def test_style_editor_joint_mask_mode(rng, tmp_path):
+    """onebyone=False repaints all instances in ONE inpaint call with
+    the union mask and joined prompts."""
+    from cartoonsegmentation_tpu.pipeline.style import (StyleConfig,
+                                                        StyleEditor)
+    from cartoonsegmentation_tpu.instances import Instances
+
+    class FakeDetector:
+        def infer(self, img, *a, **k):
+            h, w = img.shape[:2]
+            m1 = np.zeros((h, w), bool); m1[4:12, 4:12] = True
+            m2 = np.zeros((h, w), bool); m2[20:30, 20:30] = True
+            boxes = np.array([[4, 4, 8, 8], [20, 20, 10, 10]],
+                             np.float32)
+            return Instances.from_numpy(np.stack([m1, m2]), boxes,
+                                        capacity=4)
+
+    _FakeSD.calls.clear()
+    srv = _serve()
+    cfg = StyleConfig(
+        url=f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img',
+        style_prompt='pixar style', long_side=64, niter=1,
+        onebyone=False,
+        cache_masks_dir=str(tmp_path / 'cache'),
+        save_dir=str(tmp_path / 'out'),
+        sd_params={'steps': 2, 'alwayson_scripts':
+                   {'controlnet': {'args': [{}]}}})
+    editor = StyleEditor(cfg, detector=FakeDetector(),
+                         tagger=lambda img: (['1girl'], []))
+    img = (rng.rand(80, 64, 3) * 255).astype(np.uint8)
+    saved = editor.repaint(img, 'jointimg')
+    srv.shutdown()
+    assert len(saved) == 1
+    # bg repaint + ONE joint fg inpaint (not one per instance)
+    assert len(_FakeSD.calls) == 2
