@@ -93,6 +93,13 @@ def main() -> None:
     host = np.asarray(jax.device_get(frames))
     transfer_s = time.time() - t0
 
+    # I420 streaming path (device-side chroma subsample → 1.5 B/px
+    # over the link, decoded+encoded host-side while transferring)
+    from cartoonsegmentation_tpu.pipeline import stream_video
+    t0 = time.time()
+    stream_video(frames_nodof, '/tmp/bench_stream.mp4', playback=False)
+    transfer_i420_s = time.time() - t0
+
     # secondary: detector forward+postprocess throughput at 640 in
     # f32 AND bf16 (scan-chained so tunnel dispatch latency doesn't
     # pollute it), with a bf16-vs-f32 head agreement check
@@ -139,6 +146,7 @@ def main() -> None:
             'inpaint_passes_steady_s': round(inpaint_steady_s, 3),
             'render_s_total': round(dt, 3),
             'host_transfer_s': round(transfer_s, 3),
+            'stream_i420_transfer_encode_s': round(transfer_i420_s, 3),
             'device': str(jax.devices()[0]),
             'detector_fwd_fps_640_f32': round(det_fps_f32, 2),
             'detector_fwd_fps_640_bf16':

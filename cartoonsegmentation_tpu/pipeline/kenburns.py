@@ -891,7 +891,7 @@ def stream_video(frames_device, path: str, fps: int = 25,
     T, h, w = frames_device.shape[:3]
     if yuv420 and h % 4 == 0 and w % 2 == 0 and T > 0:
         from ..utils.image import bgr_to_i420
-        frames_device = jax.jit(bgr_to_i420)(frames_device)
+        frames_device = bgr_to_i420(frames_device)  # module-level jit
         decode = lambda arr: np.stack(
             [cv2.cvtColor(f, cv2.COLOR_YUV2BGR_I420) for f in arr])
     else:

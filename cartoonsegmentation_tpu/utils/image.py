@@ -173,6 +173,7 @@ def to_float_chw(img: np.ndarray) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
+@jax.jit
 def bgr_to_i420(frames: jnp.ndarray) -> jnp.ndarray:
     """(T, H, W, 3) BGR uint8 → (T, H*3/2, W) uint8 in I420 layout.
 
