@@ -143,6 +143,13 @@ def build_kenburns_cfg(src: Union[str, Dict[str, Any], KenBurnsConfig, None]
             for ok, ov in v.items():
                 if ok in _mk:
                     kw[_mk[ok]] = int(ov)
+            # checkpoint name selects the sampler family:
+            # marigold-v1-0 ships DDIM, marigold-lcm-v1-0 ships LCM
+            # (reference apply_marigold.py:8 default is the lcm one)
+            ckpt = str(v.get('checkpoint', ''))
+            if ckpt:
+                kw['marigold_scheduler'] = \
+                    'lcm' if 'lcm' in ckpt.lower() else 'ddim'
         elif k == 'ldm_inpaint_options' and isinstance(v, dict):
             opt_names = {f.name for f in fields(LDMInpaintOptions)}
             kw['ldm_inpaint_options'] = LDMInpaintOptions(

@@ -20,6 +20,7 @@ diffusers-adapter behavior for environments that have it.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -167,7 +168,7 @@ class MarigoldDepth:
                           interpolation=cv2.INTER_LINEAR)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=('iters',))
 def ensemble_depths(preds: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
     """Affine-invariant ensemble merge (Marigold ensemble_depth):
     per-member min-max init, then iterated closed-form scale/shift

@@ -285,14 +285,7 @@ class KenBurnsPipeline:
         zeros→min positive, disp=(1-depth)*255. The reference feeds
         its BGR ndarray to PIL unconverted (apply_marigold.py:32);
         we convert to the RGB the model was trained on."""
-        from ..models.marigold import MarigoldDepth
-        cfg = self.cfg
-        if getattr(self, '_marigold', None) is None:
-            self._marigold = MarigoldDepth(
-                processing_res=cfg.marigold_res,
-                denoise_steps=cfg.marigold_steps,
-                ensemble_size=cfg.marigold_ensemble,
-                scheduler=cfg.marigold_scheduler, seed=self._seed)
+        self._ensure_marigold()
         img_u8 = np.asarray(
             jnp.clip(image[..., ::-1], 0, 1) * 255).astype(np.uint8)
         depth = self._marigold(img_u8)            # (H, W) in [0, 1]
@@ -302,13 +295,10 @@ class KenBurnsPipeline:
         disp = (1.0 - depth) * 255.0
         return jnp.asarray(disp[..., None].astype(np.float32))
 
-    def load_marigold_checkpoint(self, unet_path: str, vae_path: str,
-                                 text_path: Optional[str] = None
-                                 ) -> None:
-        """Load a Marigold checkpoint directory's unet/vae (and
-        optionally text_encoder) torch weight files."""
-        from ..models.convert import load_torch_ckpt
-        from ..models.marigold import MarigoldDepth, convert_marigold
+    def _ensure_marigold(self):
+        """Lazy single construction point — checkpoint loading and
+        inference must build the model from the same config knobs."""
+        from ..models.marigold import MarigoldDepth
         cfg = self.cfg
         if getattr(self, '_marigold', None) is None:
             self._marigold = MarigoldDepth(
@@ -316,6 +306,16 @@ class KenBurnsPipeline:
                 denoise_steps=cfg.marigold_steps,
                 ensemble_size=cfg.marigold_ensemble,
                 scheduler=cfg.marigold_scheduler, seed=self._seed)
+        return self._marigold
+
+    def load_marigold_checkpoint(self, unet_path: str, vae_path: str,
+                                 text_path: Optional[str] = None
+                                 ) -> None:
+        """Load a Marigold checkpoint directory's unet/vae (and
+        optionally text_encoder) torch weight files."""
+        from ..models.convert import load_torch_ckpt
+        from ..models.marigold import convert_marigold
+        self._ensure_marigold()
         self._marigold.variables = convert_marigold(
             load_torch_ckpt(unet_path), load_torch_ckpt(vae_path),
             load_torch_ckpt(text_path) if text_path else None,
@@ -671,9 +671,12 @@ class KenBurnsPipeline:
         n_shards = int(mesh.shape['data']) if mesh is not None else 1
         T_pad = -(-T // n_shards) * n_shards
 
+        # key on the mesh object itself (hashable), not just its
+        # size: two same-size meshes over different devices must not
+        # share a compiled shard_map
         key = ('frames', H, W, state.cloud.capacity, T_pad, max_cw,
                max_ch, bool(depth_field), cfg.discfill_max_steps,
-               cfg.discfill_mode, cfg.render_payload_dtype, n_shards)
+               cfg.discfill_mode, cfg.render_payload_dtype, mesh)
         if key not in self._jit_cache:
             focal, baseline = cfg.focal, cfg.baseline
             dcfg = (cfg.dof_num_samples, cfg.lightness_factor,
@@ -890,10 +893,9 @@ def stream_video(frames_device, path: str, fps: int = 25,
     import cv2
     T, h, w = frames_device.shape[:3]
     if yuv420 and h % 4 == 0 and w % 2 == 0 and T > 0:
-        from ..utils.image import bgr_to_i420
+        from ..utils.image import bgr_to_i420, i420_to_bgr_host
         frames_device = bgr_to_i420(frames_device)  # module-level jit
-        decode = lambda arr: np.stack(
-            [cv2.cvtColor(f, cv2.COLOR_YUV2BGR_I420) for f in arr])
+        decode = i420_to_bgr_host
     else:
         decode = lambda arr: arr
     chunks = [frames_device[i:i + chunk] for i in range(0, T, chunk)]

@@ -56,14 +56,24 @@ def main():
             style_config_from_yaml
         import dataclasses
         cfg = style_config_from_yaml(args.cfg)
-        # explicit CLI flags override the yaml
-        overrides = {}
-        defaults = ap.parse_args([f'--img_path={args.img_path}'])
-        for f in dataclasses.fields(cfg):
-            if hasattr(args, f.name) and \
-                    getattr(args, f.name) != getattr(defaults, f.name):
-                overrides[f.name] = getattr(args, f.name)
+        # explicit CLI flags override the yaml — detected from argv so
+        # a flag explicitly set to its default still wins
+        given = {a.lstrip('-').split('=')[0].replace('-', '_')
+                 for a in sys.argv[1:] if a.startswith('--')}
+        overrides = {f.name: getattr(args, f.name)
+                     for f in dataclasses.fields(cfg)
+                     if f.name in given and hasattr(args, f.name)}
         cfg = dataclasses.replace(cfg, **overrides)
+        sd = dict(cfg.sd_params)
+        for k, flag in (('steps', 'steps'), ('cfg_scale', 'cfg_scale'),
+                        ('sampler_name', 'sample_name')):
+            if flag in given:
+                sd[k] = getattr(args, flag)
+        # the non-yaml path always wires the ControlNet slot; keep the
+        # two paths consistent unless the yaml configured its own
+        sd.setdefault('alwayson_scripts',
+                      {'controlnet': {'args': [{}]}})
+        cfg = dataclasses.replace(cfg, sd_params=sd)
     else:
         cfg = StyleConfig(
             url=args.url, style_prompt=args.style_prompt,

@@ -130,11 +130,18 @@ def main():
                            'batch_stats': state.batch_stats})
         LOGGER.info(f'saved {path}')
 
+    _seg_cache = []
+
     def make_infer():
+        # one AnimeInsSeg reused across validations — its jitted
+        # forward stays compiled; only the variables are refreshed
         from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
-        seg = AnimeInsSeg(det_size=args.img_size,
-                          max_instances=args.max_instances)
-        seg.model = model
+        if not _seg_cache:
+            seg = AnimeInsSeg(det_size=args.img_size,
+                              max_instances=args.max_instances)
+            seg.model = model
+            _seg_cache.append(seg)
+        seg = _seg_cache[0]
         seg.load_variables({'params': state.params,
                             'batch_stats': state.batch_stats})
         return seg

@@ -119,6 +119,11 @@ def main():
         loader = MixedNYUKITTILoader(loader, kloader)
 
     steps_per_epoch = max(len(src) // args.batch, 1)
+    if args.variant == 'nk':
+        # the round-robin mixed loader yields TWO batches (nyu+kitti)
+        # per round, n_rounds = max of the two stream lengths
+        steps_per_epoch = 2 * max(steps_per_epoch,
+                                  max(len(ksrc) // args.batch, 1))
     total = args.max_steps or args.epochs * steps_per_epoch
     warmup = min(args.warmup, max(total // 10, 1))
     tx = zoe_optimizer(lr=args.lr, warmup_steps=warmup,
@@ -183,7 +188,11 @@ def main():
 
         res = evaluate_depth(
             predict, esrc,
-            indices=range(min(len(esrc), args.eval_max_images)))
+            indices=range(min(len(esrc), args.eval_max_images)),
+            garg_crop=args.dataset == 'kitti',
+            eigen_crop=args.dataset != 'kitti',
+            min_depth_eval=args.min_depth,
+            max_depth_eval=args.max_depth)
         LOGGER.info('eval: ' + ' '.join(f'{k}={v:.4f}'
                                         for k, v in res.items()))
 
