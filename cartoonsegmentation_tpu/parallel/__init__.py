@@ -1,7 +1,8 @@
 from .dsla import dynamic_soft_label_assign  # noqa: F401
 from .mesh import make_mesh, batch_sharding, replicated, shard_batch  # noqa: F401
 from .train import (  # noqa: F401
-    TrainState, create_train_state, detector_loss, make_train_step,
+    TrainState, create_train_state, detector_loss, ema_decay_schedule,
+    ema_update, make_train_step,
 )
 from .depth_train import (  # noqa: F401
     SimpleState, make_depth_train_step, make_refine_train_step,

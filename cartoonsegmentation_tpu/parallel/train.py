@@ -198,3 +198,22 @@ def make_train_step(model: AnimeDetector, tx: optax.GradientTransformation,
                           state.step + 1), metrics
 
     return train_step
+
+
+@jax.jit
+def ema_update(ema_params, params, decay: jnp.ndarray):
+    """Exponential moving average of the parameter pytree — the
+    reference RTMDet recipe evaluates and ships EMA weights
+    (mmdet ExpMomentumEMA, momentum 0.0002 ⇒ decay 0.9998; the
+    published rtmdetl_e60.ckpt carries the EMA state). Warmup: pass a
+    step-dependent decay min(decay, (1+step)/(10+step)) so early EMA
+    is not dominated by the random init."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, params)
+
+
+def ema_decay_schedule(base_decay: float, step) -> jnp.ndarray:
+    """Warmup-adjusted decay (timm/mmdet convention)."""
+    step = jnp.asarray(step, jnp.float32)
+    return jnp.minimum(jnp.asarray(base_decay, jnp.float32),
+                       (1.0 + step) / (10.0 + step))

@@ -55,6 +55,9 @@ def main():
     ap.add_argument('--weight-decay', type=float, default=0.05)
     ap.add_argument('--warmup', type=int, default=100)
     ap.add_argument('--clip-norm', type=float, default=10.0)
+    ap.add_argument('--ema-decay', type=float, default=0.9998,
+                    help='EMA decay for the shipped weights (the '
+                         'reference RTMDet recipe; 0 disables)')
     ap.add_argument('--max-instances', type=int, default=16)
     ap.add_argument('--mosaic-prob', type=float, default=0.5)
     ap.add_argument('--mixup-prob', type=float, default=0.3)
@@ -77,8 +80,8 @@ def main():
     from cartoonsegmentation_tpu.data.dataset import MixedDetDataset
     from cartoonsegmentation_tpu.models.rtmdet import AnimeDetector
     from cartoonsegmentation_tpu.parallel import (
-        TrainState, create_train_state, make_mesh, make_train_step,
-        shard_batch)
+        TrainState, create_train_state, ema_decay_schedule, ema_update,
+        make_mesh, make_train_step, shard_batch)
     from cartoonsegmentation_tpu.utils import LOGGER
     from cartoonsegmentation_tpu.utils.checkpoint import (load_params,
                                                           save_params)
@@ -117,6 +120,8 @@ def main():
                 f'({len(args.ann)} source(s))')
     step_fn = make_train_step(model, tx)
 
+    ema_params = state.params if args.ema_decay > 0 else None
+
     viz = None
     if args.viz_dir:
         from cartoonsegmentation_tpu.parallel.hooks import \
@@ -126,7 +131,9 @@ def main():
     def save(tag=''):
         path = args.ckpt_out if not tag else \
             args.ckpt_out.replace('.msgpack', f'_{tag}.msgpack')
-        save_params(path, {'params': state.params,
+        # ship the EMA weights (reference checkpoints carry EMA state)
+        p = ema_params if ema_params is not None else state.params
+        save_params(path, {'params': p,
                            'batch_stats': state.batch_stats})
         LOGGER.info(f'saved {path}')
 
@@ -142,7 +149,8 @@ def main():
             seg.model = model
             _seg_cache.append(seg)
         seg = _seg_cache[0]
-        seg.load_variables({'params': state.params,
+        p = ema_params if ema_params is not None else state.params
+        seg.load_variables({'params': p,
                             'batch_stats': state.batch_stats})
         return seg
 
@@ -182,6 +190,10 @@ def main():
         for i, batch in enumerate(ds.batches(args.batch, args.steps)):
             batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch)
+            if ema_params is not None:
+                ema_params = ema_update(
+                    ema_params, state.params,
+                    ema_decay_schedule(args.ema_decay, state.step))
             step = i + 1
             if step % args.log_every == 0 or step == args.steps:
                 m = {k: float(jax.device_get(v))

@@ -95,3 +95,16 @@ def test_frame_sharded_render_matches_single(rng):
                                  mesh=mesh)
     assert sharded.shape == single.shape == (5, 48, 64, 3)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_ema_update_and_schedule():
+    from cartoonsegmentation_tpu.parallel import (ema_decay_schedule,
+                                                  ema_update)
+    p0 = {'a': jnp.zeros((3,)), 'b': {'c': jnp.zeros(())}}
+    p1 = {'a': jnp.ones((3,)), 'b': {'c': jnp.ones(())}}
+    out = ema_update(p0, p1, jnp.float32(0.9))
+    np.testing.assert_allclose(np.asarray(out['a']), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(out['b']['c']), 0.1, rtol=1e-6)
+    # warmup: early steps track params fast, late steps approach base
+    assert abs(float(ema_decay_schedule(0.9998, 0)) - 0.1) < 1e-6
+    assert abs(float(ema_decay_schedule(0.9998, 100000)) - 0.9998) < 1e-6
