@@ -141,11 +141,15 @@ def _render_impl(points, data, H, W, focal, baseline,
 
     # --- pass 1: nearest-corner z-buffer (scatter-min) ---------------
     # the CUDA kernel routes each point to the corner with the largest
-    # bilinear weight, first-wins on ties in NW,NE,SW,SE order — argmax
-    # over the stacked weights reproduces the if/elif chain exactly.
-    best = jnp.argmax(w, axis=0)                      # (P,)
-    bx = jnp.take_along_axis(cx, best[None], 0)[0]
-    by = jnp.take_along_axis(cy, best[None], 0)[0]
+    # bilinear weight, first-wins on ties in NW,NE,SW,SE order. The
+    # bilinear weights factorize (w = wx * wy with wx ∈ {1-fx, fx}),
+    # so the argmax decomposes into two independent comparisons with
+    # the same tie behavior (fx == 0.5 → W side, fy == 0.5 → N side,
+    # the lower corner index) — no (4,P) argmax + P-row
+    # take_along_axis gathers, which cost several ms at 655k points.
+    x0f, y0f = jnp.floor(u), jnp.floor(v)
+    bx = (x0f + (u - x0f > 0.5)).astype(jnp.int32)
+    by = (y0f + (v - y0f > 0.5)).astype(jnp.int32)
     zidx, _ = _flat_idx(bx, by, H, W, extra_invalid=~valid)
     zee = jnp.full((H * W + 1,), BIG, points.dtype)
     zee = zee.at[zidx].min(jnp.where(valid, error, BIG), mode='drop')
@@ -170,12 +174,17 @@ def _render_impl(points, data, H, W, focal, baseline,
     acc_dtype = jnp.dtype(payload_dtype) if payload_dtype is not None \
         else data.dtype
     data1 = jnp.concatenate([data, jnp.ones((P, 1), data.dtype)], 1)
+    if acc_dtype != data.dtype:
+        # build the pack directly in the accumulation dtype: halves
+        # the elementwise write traffic of the (P, 4*(C+1)) product
+        # and drops the separate cast
+        data1 = data1.astype(acc_dtype)
     packs = []
     for c in range(4):
         inb = (cx[c] >= 0) & (cx[c] < W) & (cy[c] >= 0) & (cy[c] < H)
         pass_z = error <= zref[:, c] + 1.0             # tolerance +1.0
         wc = jnp.where(inb & valid & pass_z, w[c], 0.0)
-        packs.append(data1 * wc[:, None])
+        packs.append(data1 * wc[:, None].astype(acc_dtype))
     pack = jnp.concatenate(packs, 1).astype(acc_dtype)  # (P, 4*(C+1))
     out = jnp.zeros((Hp * Wp + 1, 4 * (C + 1)), acc_dtype)
     out = out.at[qidx].add(pack, mode='drop')
