@@ -376,4 +376,8 @@ def evaluate_benchmark(predict_fn, dataset: str, root: str,
         for k in EVAL_METRIC_KEYS:
             acc[k] += m[k]
         n += 1
-    return {k: v / max(n, 1) for k, v in acc.items()}
+    if n == 0:
+        # no sample evaluated (empty source / all-NaN metrics) —
+        # all-zero "perfect" scores would be silently wrong
+        return {k: float('nan') for k in EVAL_METRIC_KEYS}
+    return {k: v / n for k, v in acc.items()}

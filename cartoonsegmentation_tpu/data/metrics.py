@@ -19,6 +19,10 @@ import numpy as np
 
 IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 REC_THRS = np.linspace(0.0, 1.0, 101)
+# pycocotools area ranges (COCOeval.params.areaRng)
+AREA_RNG = {'all': (0.0, 1e10), 'small': (0.0, 32.0 ** 2),
+            'medium': (32.0 ** 2, 96.0 ** 2),
+            'large': (96.0 ** 2, 1e10)}
 
 
 def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
@@ -76,21 +80,28 @@ def _mask_iou_crowd(dt_masks, gt_masks) -> np.ndarray:
 
 
 def _match_image(iou: np.ndarray, dt_scores: np.ndarray, n_thr: int,
-                 gt_ignore: Optional[np.ndarray] = None):
+                 gt_ignore: Optional[np.ndarray] = None,
+                 gt_crowd: Optional[np.ndarray] = None):
     """Greedy COCO matching (pycocotools COCOeval.evaluateImg
     semantics): for each IoU threshold, detections in score order
-    claim the best still-claimable gt with IoU >= thr; crowd/ignored
-    gts are claimable repeatedly but matching one marks the det
-    ignored (neither TP nor FP). Gts are visited non-ignored first;
-    once a det holds a non-ignored match, ignored gts can no longer
-    improve it. Returns (tp (n_thr, D) bool, dt_ig (n_thr, D) bool)
-    with dt already score-sorted by the caller."""
+    claim the best still-claimable gt with IoU >= thr. ``gt_ignore``
+    is the COMBINED ignore flag (crowd OR out of the area range):
+    ignored gts sort last and matching one marks the det ignored
+    (neither TP nor FP). ``gt_crowd`` governs re-claimability only —
+    crowd gts are claimable repeatedly; area-ignored non-crowd gts
+    are claimable once, exactly like pycocotools (`continue` tests
+    iscrowd, the sorted `break` tests the combined flag). Returns
+    (tp (n_thr, D) bool, dt_ig (n_thr, D) bool) with dt already
+    score-sorted by the caller."""
     D, G = iou.shape
     if gt_ignore is None:
         gt_ignore = np.zeros(G, bool)
-    # pycocotools sorts gts ignore-last (stable)
+    if gt_crowd is None:
+        gt_crowd = gt_ignore
+    # pycocotools sorts gts combined-ignore-last (stable)
     gorder = np.argsort(gt_ignore, kind='mergesort')
     gt_ig = gt_ignore[gorder]
+    crowd = np.asarray(gt_crowd, bool)[gorder]
     iou = iou[:, gorder] if G else iou
     tp = np.zeros((n_thr, D), bool)
     dt_ig = np.zeros((n_thr, D), bool)
@@ -100,9 +111,9 @@ def _match_image(iou: np.ndarray, dt_scores: np.ndarray, n_thr: int,
             best = min(thr, 1 - 1e-10)
             best_g = -1
             for g in range(G):
-                # claimed non-crowd gts are gone; ignored (crowd) gts
-                # stay claimable
-                if taken[g] and not gt_ig[g]:
+                # claimed non-crowd gts are gone; crowd gts stay
+                # claimable
+                if taken[g] and not crowd[g]:
                     continue
                 # already matched to a real gt: stop at the ignored
                 # tail (pycocotools: break to keep the real match)
@@ -118,13 +129,37 @@ def _match_image(iou: np.ndarray, dt_scores: np.ndarray, n_thr: int,
     return tp, dt_ig
 
 
+def _areas(entry: Dict, boxes: np.ndarray, masks, iou_type: str,
+           order=None) -> np.ndarray:
+    """Per-instance areas: explicit 'areas' key wins (pycocotools uses
+    ann['area']); otherwise bbox w*h for bbox eval / mask pixel count
+    for segm (what pycocotools' loadRes derives for detections)."""
+    if entry.get('areas') is not None:
+        a = np.asarray(entry['areas'], float)
+    elif iou_type == 'bbox':
+        b = np.asarray(boxes, float).reshape(-1, 4)
+        a = b[:, 2] * b[:, 3]
+    else:
+        a = np.asarray([float(np.sum(m)) for m in masks])
+    if order is not None:
+        a = a[order] if len(a) else a
+    return a
+
+
 def coco_map(predictions: List[Dict], gts: List[Dict],
-             iou_type: str = 'bbox', max_dets: int = 100) -> Dict:
+             iou_type: str = 'bbox', max_dets: int = 100,
+             area_rng=None) -> Dict:
     """predictions/gts: per-image dicts with keys
     'bboxes' (N,4 xywh), 'scores' (preds), 'masks' (list of HxW bool,
-    only for iou_type='segm').
-    Returns {'mAP', 'mAP_50', 'mAP_75', 'AP_per_iou'}."""
+    only for iou_type='segm'), optional 'areas'.
+    ``area_rng``: (lo, hi) area range or a name from AREA_RNG —
+    gts outside the range are ignored, unmatched dts outside it are
+    neither TP nor FP (pycocotools semantics).
+    Returns {'mAP', 'mAP_50', 'mAP_75', 'AP_per_iou', 'AR'} where AR
+    is the max recall at this max_dets averaged over IoU thresholds."""
     n_thr = len(IOU_THRS)
+    if isinstance(area_rng, str):
+        area_rng = AREA_RNG[area_rng]
     all_scores, all_tp, all_ig = [], [], []
     n_gt = 0
     for pred, gt in zip(predictions, gts):
@@ -145,7 +180,10 @@ def coco_map(predictions: List[Dict], gts: List[Dict],
                 # crowd IoU = inter / det area (maskUtils.iou)
                 crowd_iou = _bbox_iou_crowd(dt_b, gt_b)
                 iou = np.where(iscrowd[None, :len(gt_b)], crowd_iou, iou)
-            n_gt += int((~iscrowd).sum()) if len(iscrowd) else len(gt_b)
+            dt_area = _areas(pred, pred.get('bboxes', np.zeros((0, 4))),
+                             None, 'bbox', order)
+            gt_area = _areas(gt, gt_b, None, 'bbox')
+            n_inst = len(gt_b)
         else:
             dt_m = [pred['masks'][i] for i in order] \
                 if pred.get('masks') is not None and len(order) else []
@@ -154,17 +192,30 @@ def coco_map(predictions: List[Dict], gts: List[Dict],
             if iscrowd.any() and len(dt_m):
                 crowd_iou = _mask_iou_crowd(dt_m, gt_m)
                 iou = np.where(iscrowd[None, :len(gt_m)], crowd_iou, iou)
-            n_gt += int((~iscrowd).sum()) if len(iscrowd) else len(gt_m)
+            dt_area = _areas(pred, None, dt_m, 'segm')
+            gt_area = _areas(gt, None, gt_m, 'segm')
+            n_inst = len(gt_m)
+        crowd = iscrowd if len(iscrowd) else np.zeros(n_inst, bool)
+        if area_rng is not None and n_inst:
+            gt_out = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+            gt_ignore = crowd | gt_out
+        else:
+            gt_ignore = crowd
+        n_gt += int((~gt_ignore).sum())
         all_scores.append(scores)
-        tp, ig = _match_image(iou, scores, n_thr,
-                              iscrowd if len(iscrowd) else None)
+        tp, ig = _match_image(iou, scores, n_thr, gt_ignore, crowd)
+        if area_rng is not None and len(scores):
+            dt_out = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
+            # unmatched dts outside the range: neither TP nor FP
+            ig = ig | (~tp & ~ig & dt_out[None, :])
         all_tp.append(tp)
         all_ig.append(ig)
 
     if n_gt == 0:
         return {'mAP': float('nan'), 'mAP_50': float('nan'),
                 'mAP_75': float('nan'),
-                'AP_per_iou': [float('nan')] * n_thr}
+                'AP_per_iou': [float('nan')] * n_thr,
+                'AR': float('nan')}
 
     scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
     tp = np.concatenate(all_tp, axis=1) if all_tp \
@@ -176,11 +227,13 @@ def coco_map(predictions: List[Dict], gts: List[Dict],
     ig = ig[:, order]
 
     aps = []
+    recalls = []
     for t in range(n_thr):
         keep = ~ig[t]
         ctp = np.cumsum(tp[t][keep])
         cfp = np.cumsum(~tp[t][keep])
         recall = ctp / n_gt
+        recalls.append(float(recall[-1]) if len(recall) else 0.0)
         precision = ctp / np.maximum(ctp + cfp, 1e-9)
         # monotone precision envelope
         for i in range(len(precision) - 1, 0, -1):
@@ -196,7 +249,31 @@ def coco_map(predictions: List[Dict], gts: List[Dict],
     return {'mAP': float(aps.mean()),
             'mAP_50': float(aps[0]),
             'mAP_75': float(aps[5]),
-            'AP_per_iou': aps.tolist()}
+            'AP_per_iou': aps.tolist(),
+            'AR': float(np.mean(recalls))}
+
+
+def coco_summary(predictions: List[Dict], gts: List[Dict],
+                 iou_type: str = 'bbox') -> Dict[str, float]:
+    """The standard 12-number COCO summary (COCOeval.summarize):
+    AP@[.5:.95]/50/75, AP small/medium/large (maxDets=100),
+    AR@1/10/100 (area all), AR small/medium/large (maxDets=100)."""
+    out: Dict[str, float] = {}
+    base = coco_map(predictions, gts, iou_type, max_dets=100,
+                    area_rng='all')
+    out['AP'] = base['mAP']
+    out['AP_50'] = base['mAP_50']
+    out['AP_75'] = base['mAP_75']
+    out['AR_100'] = base['AR']
+    for name in ('small', 'medium', 'large'):
+        m = coco_map(predictions, gts, iou_type, max_dets=100,
+                     area_rng=name)
+        out[f'AP_{name}'] = m['mAP']
+        out[f'AR_{name}'] = m['AR']
+    for k in (1, 10):
+        out[f'AR_{k}'] = coco_map(predictions, gts, iou_type,
+                                  max_dets=k, area_rng='all')['AR']
+    return out
 
 
 class AnimeMangaMetric:

@@ -27,6 +27,30 @@ def _np(t):
     return np.asarray(t, np.float32)
 
 
+def conv_w(v):
+    """torch Conv2d weight (out, in, kh, kw) → flax (kh, kw, in, out)."""
+    return _np(v).transpose(2, 3, 1, 0)
+
+
+def deconv_w(v):
+    """torch ConvTranspose2d weight (in, out, kh, kw) → flax
+    ConvTranspose kernel: spatial flip + (kh, kw, in, out) layout —
+    verified numerically against torch (without the flip
+    overlapping-tap deconvs are wrong by O(1))."""
+    return _np(v)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+
+
+def lin_w(v):
+    """torch Linear weight (out, in) → flax Dense kernel (in, out)."""
+    return _np(v).T
+
+
+def strip_prefix(sd: Mapping, prefix: str = 'module.') -> Dict:
+    """Drop a DataParallel-style key prefix where present."""
+    return {k[len(prefix):] if k.startswith(prefix) else k: v
+            for k, v in sd.items()}
+
+
 def conv_p(sd: Mapping, prefix: str) -> Dict:
     w = _np(sd[prefix + '.weight']).transpose(2, 3, 1, 0)
     out = {'kernel': w}

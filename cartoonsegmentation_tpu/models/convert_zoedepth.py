@@ -45,20 +45,7 @@ def _put(tree: Dict, path, leaf):
     node[path[-1]] = leaf
 
 
-def conv_w(v):
-    return _np(v).transpose(2, 3, 1, 0)
-
-
-def deconv_w(v):
-    # torch ConvTranspose2d ≡ flax ConvTranspose(transpose_kernel=
-    # False) with the kernel flipped spatially and laid out
-    # (kh, kw, in, out) — verified numerically against torch
-    # (without the flip the k4s4 resample is wrong by O(1)).
-    return _np(v)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
-
-
-def lin_w(v):
-    return _np(v).T
+from .convert import conv_w, deconv_w, lin_w  # shared helpers
 
 
 def _convert_core(sd: Dict, P: Dict, grid: Tuple[int, int]) -> None:
@@ -168,8 +155,8 @@ def _mlp2(sd: Dict, P: Dict, prefix_t: str, path: Tuple) -> None:
 
 def convert_zoedepth(sd: Dict, img_size: Tuple[int, int] = (384, 512)
                      ) -> Dict:
-    sd = {k[len('module.'):] if k.startswith('module.') else k: v
-          for k, v in sd.items()}
+    from .convert import strip_prefix
+    sd = strip_prefix(sd)
     grid = (img_size[0] // 16, img_size[1] // 16)
     P: Dict = {}
 
@@ -207,8 +194,8 @@ def convert_zoedepth_nk(sd: Dict,
     / projectors, plus per-domain ModuleDicts (seed_bin_regressors.*,
     attractors.*, conditional_log_binomial.*) and the patch-transformer
     router (patch_transformer.* + mlp_classifier.*)."""
-    sd = {k[len('module.'):] if k.startswith('module.') else k: v
-          for k, v in sd.items()}
+    from .convert import strip_prefix
+    sd = strip_prefix(sd)
     grid = (img_size[0] // 16, img_size[1] // 16)
     P: Dict = {}
     _convert_core(sd, P, grid)

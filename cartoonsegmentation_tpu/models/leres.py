@@ -181,8 +181,8 @@ def leres_postprocess(depth: jnp.ndarray) -> jnp.ndarray:
 def convert_leres(sd) -> dict:
     from .convert import _np
 
-    sd = {k[len('module.'):] if k.startswith('module.') else k: v
-          for k, v in sd.items()}
+    from .convert import strip_prefix
+    sd = strip_prefix(sd)
     params: dict = {}
     stats: dict = {}
 

@@ -71,14 +71,6 @@ class Pix2Pix4Depth(nn.Module):
         return jnp.tanh(out)
 
 
-def _deconv_w(v):
-    """torch ConvTranspose2d weight (in, out, kh, kw) → flax
-    ConvTranspose kernel: spatial flip + (kh, kw, in, out) layout
-    (verified numerically; without the flip overlapping-tap deconvs
-    are wrong)."""
-    return _np(v)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
-
-
 def convert_pix2pix4depth(sd: Mapping, num_downs: int = 10,
                           ngf: int = 64) -> Dict:
     """latest_net_G.pth state dict → Flax params.
@@ -88,13 +80,10 @@ def convert_pix2pix4depth(sd: Mapping, num_downs: int = 10,
     → keys .0/.1/.3; mid = [leaky, downconv, norm, submodule, relu,
     upconv, norm] → .1/.3/.5; innermost = [leaky, downconv, relu,
     upconv, norm] → .1/.3."""
-    sd = {k[len('module.'):] if k.startswith('module.') else k: v
-          for k, v in sd.items()}
+    from .convert import conv_w, deconv_w, strip_prefix
+    sd = strip_prefix(sd)
     n = num_downs
     P: Dict = {}
-
-    def conv_w(v):
-        return _np(v).transpose(2, 3, 1, 0)
 
     # UnetGenerator.model = outermost UnetSkipConnectionBlock, whose
     # Sequential is .model → checkpoint keys start 'model.model.'
@@ -109,7 +98,7 @@ def convert_pix2pix4depth(sd: Mapping, num_downs: int = 10,
             down_t, up_t, sub = (f'{prefix}.1', f'{prefix}.5',
                                  f'{prefix}.3.model')
         P[f'down{lv}'] = {'kernel': conv_w(sd[f'{down_t}.weight'])}
-        up = {'kernel': _deconv_w(sd[f'{up_t}.weight'])}
+        up = {'kernel': deconv_w(sd[f'{up_t}.weight'])}
         if f'{up_t}.bias' in sd:
             up['bias'] = _np(sd[f'{up_t}.bias'])
         P[f'up{lv}'] = up

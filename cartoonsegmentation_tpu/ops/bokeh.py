@@ -119,6 +119,11 @@ def bokeh_pass(img: jnp.ndarray, depth: jnp.ndarray, dx: float, dy: float,
     """
     H, W = depth.shape
     import numpy as np
+    # the shifted-add formulation statically enumerates the offsets
+    # reachable for weights in [0, max_weight]; out-of-range weights
+    # would silently match no offset pair and drop their samples, so
+    # clamp (in-range inputs are untouched — bit-exact)
+    depth = jnp.clip(depth, 0.0, max_weight)
     im_size = min(H, W)
     offset = num_samples // 2
     sp = (np.arange(num_samples) - offset) * im_size          # (S,)

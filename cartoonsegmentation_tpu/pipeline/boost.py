@@ -186,7 +186,12 @@ class LeReSBoost:
     fused [0,1] map — both jit-compatible."""
 
     def __init__(self, leres_net, leres_vars, p2p_net, p2p_vars,
-                 max_res: int = 2048):
+                 max_res: Optional[int] = None):
+        """max_res=None reproduces the reference call
+        (depth_modules/leres/__init__.py:113: estimateboost gets
+        max(width, height) of the input), so local boosting is
+        skipped whenever the chosen whole_size already exceeds the
+        input resolution."""
         self.leres_net = leres_net
         self.leres_vars = leres_vars
         self.p2p_net = p2p_net
@@ -291,7 +296,9 @@ class LeReSBoost:
         factor = max(min(1.0, 4 * patch_scale * whole_size
                          / WHOLE_SIZE_THRESHOLD), 0.2)
 
-        if self.max_res < whole_size:
+        max_res = self.max_res if self.max_res is not None \
+            else max(input_res[0], input_res[1])
+        if max_res < whole_size:
             return cv2.resize(whole_estimate,
                               (input_res[1], input_res[0]),
                               interpolation=cv2.INTER_CUBIC)

@@ -120,6 +120,7 @@ class KenBurnsPipeline:
         ckpt = torch.load(path, map_location='cpu', weights_only=False)
         sd = ckpt.get('depth_model', ckpt)
         self._leres_vars = convert_leres(sd)
+        self._boost = None  # rebuild the boost driver with new weights
 
     def set_detector(self, detector) -> None:
         """Install an AnimeInsSeg instance, a detector name from the
@@ -341,10 +342,11 @@ class KenBurnsPipeline:
                 self._p2p_vars = p2p.init(
                     jax.random.PRNGKey(self._seed),
                     jnp.zeros((1, 1024, 1024, 2), jnp.float32))
+            # max_res=None → per-image max(W, H), matching the
+            # reference estimateboost call (leres/__init__.py:113)
             self._boost = LeReSBoost(self._leres_net,
                                      self._vars('leres'), p2p,
-                                     self._p2p_vars,
-                                     max_res=self.cfg.max_size * 3)
+                                     self._p2p_vars, max_res=None)
         img_u8 = np.asarray(
             jnp.clip(image, 0, 1) * 255).astype(np.uint8)
         depth = self._boost(img_u8)          # (H, W) raw in [0, 1]
@@ -374,17 +376,35 @@ class KenBurnsPipeline:
         cfg = self.cfg
         H, W = image.shape[:2]
         zh, zw = scaledown_size(H, W, 672, divisor=32)
-        cls = ZoeDepthNK if nk else ZoeDepth
+        # a loaded checkpoint decides the variant (load_zoe_checkpoint
+        # auto-detects N vs NK from the state dict); the cfg flag only
+        # picks the variant when running without weights
+        ckpt = getattr(self, '_zoe_ckpt_path', None)
+        want_nk = self._zoe_ckpt_is_nk if ckpt is not None else nk
+        if ckpt is not None and want_nk != nk:
+            LOGGER.warning(
+                f"depth_est requests {'NK' if nk else 'N'} but the "
+                f"loaded checkpoint is {'NK' if want_nk else 'N'} — "
+                'using the checkpoint variant')
+        cls = ZoeDepthNK if want_nk else ZoeDepth
         if getattr(self, '_zoe_net', None) is None \
                 or self._zoe_net.img_size != (zh, zw) \
                 or not isinstance(self._zoe_net, cls):
             self._zoe_net = cls(img_size=(zh, zw))
             self._zoe_vars = None
         if self._zoe_vars is None:
-            LOGGER.warning('zoedepth: RANDOM init (no checkpoint loaded)')
-            self._zoe_vars = self._zoe_net.init(
-                jax.random.PRNGKey(self._seed),
-                jnp.zeros((1, zh, zw, 3), jnp.float32))
+            if ckpt is not None:
+                # re-convert for this grid size (BEiT pos-embeds are
+                # interpolated per img_size at conversion time)
+                LOGGER.info(f're-converting zoe checkpoint for '
+                            f'({zh}, {zw})')
+                self._load_zoe_vars(ckpt)
+            else:
+                LOGGER.warning(
+                    'zoedepth: RANDOM init (no checkpoint loaded)')
+                self._zoe_vars = self._zoe_net.init(
+                    jax.random.PRNGKey(self._seed),
+                    jnp.zeros((1, zh, zw, 3), jnp.float32))
         key = ('zoe_nk' if nk else 'zoe', H, W, zh, zw)
         if key not in self._jit_cache:
             net = self._zoe_net
@@ -407,17 +427,27 @@ class KenBurnsPipeline:
         """ZoeD_M12_N.pt / ZoeD_M12_NK.pt → Flax
         (models/convert_zoedepth.py). The variant is auto-detected
         from the state dict: NK checkpoints carry the router keys
-        (patch_transformer.*, zoedepth_nk_v1.py:101-107)."""
+        (patch_transformer.*, zoedepth_nk_v1.py:101-107). The path is
+        retained so a later image-size change re-converts instead of
+        silently falling back to random init."""
+        self._zoe_ckpt_path = path
+        self._load_zoe_vars(path)
+
+    def _load_zoe_vars(self, path: str) -> None:
         from ..models.convert import load_torch_ckpt
         from ..models.convert_zoedepth import (convert_zoedepth,
                                                convert_zoedepth_nk)
         from ..models.zoedepth import ZoeDepth, ZoeDepthNK
         sd = load_torch_ckpt(path)
         is_nk = any(k.startswith('patch_transformer.') for k in sd)
+        self._zoe_ckpt_is_nk = is_nk
         cls = ZoeDepthNK if is_nk else ZoeDepth
         if getattr(self, '_zoe_net', None) is None \
                 or not isinstance(self._zoe_net, cls):
-            self._zoe_net = cls(img_size=(672, 672))
+            self._zoe_net = cls(
+                img_size=getattr(self, '_zoe_net', None).img_size
+                if getattr(self, '_zoe_net', None) is not None
+                else (672, 672))
         conv = convert_zoedepth_nk if is_nk else convert_zoedepth
         self._zoe_vars = conv(sd, self._zoe_net.img_size)
 

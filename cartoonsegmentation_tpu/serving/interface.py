@@ -147,14 +147,20 @@ class KenBurnsService:
             })
         editor = StyleEditor(cfg, detector=self.segmentor,
                              tagger=getattr(self, 'tagger', None))
-        saved = editor.repaint(img, 'web')
-        if not saved:
-            return {'image': None, 'outputs': 0,
-                    'note': 'no instances detected'}
-        out = cv2.imread(saved[-1])
-        ok, enc = cv2.imencode('.png', out)
-        return {'image': base64.b64encode(enc.tobytes()).decode(),
-                'outputs': len(saved)}
+        try:
+            saved = editor.repaint(img, 'web')
+            if not saved:
+                return {'image': None, 'outputs': 0,
+                        'note': 'no instances detected'}
+            out = cv2.imread(saved[-1])
+            ok, enc = cv2.imencode('.png', out)
+            return {'image': base64.b64encode(enc.tobytes()).decode(),
+                    'outputs': len(saved)}
+        finally:
+            # the per-request workdir (mask cache + outputs) would
+            # otherwise accumulate until the temp filesystem fills
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def result_video(self) -> bytes:
         """Full render with inpainting → mp4 bytes."""
