@@ -135,24 +135,35 @@ class BasicTransformerBlock(nn.Module):
 
 
 class Transformer2D(nn.Module):
-    """GN → linear proj_in → transformer blocks → linear proj_out,
-    residual (diffusers Transformer2DModel with
-    use_linear_projection=True — the SD2 configuration)."""
+    """GN → proj_in → transformer blocks → proj_out, residual
+    (diffusers Transformer2DModel). ``linear_proj=True`` is the SD2
+    configuration (Dense projections on tokens); False is the SD1.x
+    one (1x1 convs before/after tokenization)."""
     heads: int
     depth: int = 1
+    linear_proj: bool = True
 
     @nn.compact
     def __call__(self, x, context):
         B, H, W, C = x.shape
         res = x
         h = nn.GroupNorm(32, epsilon=1e-6, name='norm')(x)
-        h = h.reshape(B, H * W, C)
-        h = nn.Dense(C, name='proj_in')(h)
+        if self.linear_proj:
+            h = h.reshape(B, H * W, C)
+            h = nn.Dense(C, name='proj_in')(h)
+        else:
+            h = nn.Conv(C, (1, 1), name='proj_in')(h)
+            h = h.reshape(B, H * W, C)
         for i in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, name=f'blocks_{i}')(h, context)
-        h = nn.Dense(C, name='proj_out')(h)
-        return h.reshape(B, H, W, C) + res
+        if self.linear_proj:
+            h = nn.Dense(C, name='proj_out')(h)
+            h = h.reshape(B, H, W, C)
+        else:
+            h = h.reshape(B, H, W, C)
+            h = nn.Conv(C, (1, 1), name='proj_out')(h)
+        return h + res
 
 
 class Downsample2D(nn.Module):
@@ -196,6 +207,7 @@ class UNet2DCondition(nn.Module):
     layers_per_block: int = 2
     heads: Sequence[int] = (5, 10, 20, 20)
     cross_attn: Sequence[bool] = (True, True, True, False)
+    linear_proj: bool = True        # False = the SD1.x configuration
 
     @nn.compact
     def __call__(self, x, t, context):
@@ -213,15 +225,17 @@ class UNet2DCondition(nn.Module):
                 h = ResnetBlock2D(ch, name=f'down_{i}_res_{j}')(h, temb)
                 if self.cross_attn[i]:
                     h = Transformer2D(
-                        self.heads[i], name=f'down_{i}_attn_{j}')(
-                            h, context)
+                        self.heads[i], linear_proj=self.linear_proj,
+                        name=f'down_{i}_attn_{j}')(h, context)
                 skips.append(h)
             if i < nlev - 1:
                 h = Downsample2D(ch, name=f'down_{i}_downsample')(h)
                 skips.append(h)
 
         h = ResnetBlock2D(self.block_out[-1], name='mid_res_0')(h, temb)
-        h = Transformer2D(self.heads[-1], name='mid_attn')(h, context)
+        h = Transformer2D(self.heads[-1],
+                          linear_proj=self.linear_proj,
+                          name='mid_attn')(h, context)
         h = ResnetBlock2D(self.block_out[-1], name='mid_res_1')(h, temb)
 
         for i in reversed(range(nlev)):
@@ -232,8 +246,8 @@ class UNet2DCondition(nn.Module):
                 h = ResnetBlock2D(ch, name=f'up_{i}_res_{j}')(h, temb)
                 if self.cross_attn[i]:
                     h = Transformer2D(
-                        self.heads[i], name=f'up_{i}_attn_{j}')(
-                            h, context)
+                        self.heads[i], linear_proj=self.linear_proj,
+                        name=f'up_{i}_attn_{j}')(h, context)
             if i > 0:
                 h = Upsample2D(ch, name=f'up_{i}_upsample')(h)
 

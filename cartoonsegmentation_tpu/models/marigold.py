@@ -248,10 +248,20 @@ def _xattn(sd, pre):
             'to_out': _dense(sd, f'{pre}.to_out.0')}
 
 
+def _proj(sd, k):
+    """Transformer2D projection: Dense (SD2, 2-D weight) or 1x1 conv
+    (SD1.x, 4-D weight) — both appear under the same key."""
+    w = np.asarray(sd[f'{k}.weight'])
+    if w.ndim == 4:
+        return {'kernel': jnp.asarray(w.transpose(2, 3, 1, 0)),
+                'bias': jnp.asarray(np.asarray(sd[f'{k}.bias']))}
+    return _dense(sd, k)
+
+
 def _transformer(sd, pre, depth=1):
     p = {'norm': _norm(sd, f'{pre}.norm'),
-         'proj_in': _dense(sd, f'{pre}.proj_in'),
-         'proj_out': _dense(sd, f'{pre}.proj_out')}
+         'proj_in': _proj(sd, f'{pre}.proj_in'),
+         'proj_out': _proj(sd, f'{pre}.proj_out')}
     for i in range(depth):
         b = f'{pre}.transformer_blocks.{i}'
         p[f'blocks_{i}'] = {

@@ -630,7 +630,7 @@ class KenBurnsPipeline:
         self.stages[f'inpainted_{int(jax.device_get(state.cloud.count))}'] = \
             np.asarray(jnp.clip(out['image'], 0, 1) * 255).astype(np.uint8)
 
-        if cfg.inpaint_type in ('patchmatch', 'ldm'):
+        if cfg.inpaint_type in ('patchmatch', 'ldm', 'ldm_native'):
             import cv2
             H, W = state.hw
             hole = np.asarray(jax.device_get(
@@ -646,6 +646,19 @@ class KenBurnsPipeline:
                 from ..ops import patchmatch_native
                 filled = patchmatch_native.inpaint(img_u8, mask,
                                                    patch_size=3)
+            elif cfg.inpaint_type == 'ldm_native':
+                # in-process latent-diffusion inpainting (the
+                # reference's commented-out GuidedLDM, runnable here —
+                # models/ldm_inpaint.py); load weights via
+                # pipe._ldm_native.load_checkpoint(...)
+                if getattr(self, '_ldm_native', None) is None:
+                    from ..models.ldm_inpaint import LDMInpainter
+                    o = cfg.ldm_inpaint_options
+                    self._ldm_native = LDMInpainter(
+                        steps=o.steps, guidance=o.cfg_scale,
+                        seed=o.seed)
+                res = cfg.ldm_inpaint_size or cfg.max_size
+                filled = self._ldm_native(img_u8, mask, res=res)
             else:
                 from ..serving.sd_webui import ldm_inpaint_webui
                 e = 5

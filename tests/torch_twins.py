@@ -1157,25 +1157,41 @@ class TLDMBasicBlock(tnn.Module):
 
 
 class TLDMTransformer2D(tnn.Module):
-    """use_linear_projection=True variant (the SD2 configuration)."""
+    """linear_proj=True is the SD2 configuration (Dense on tokens);
+    False is SD1.x (1x1 convs)."""
 
-    def __init__(self, ch, heads, ctx, depth=1):
+    def __init__(self, ch, heads, ctx, depth=1, linear_proj=True):
         super().__init__()
+        self.linear_proj = linear_proj
         self.norm = tnn.GroupNorm(32, ch, eps=1e-6)
-        self.proj_in = tnn.Linear(ch, ch)
+        if linear_proj:
+            self.proj_in = tnn.Linear(ch, ch)
+            self.proj_out = tnn.Linear(ch, ch)
+        else:
+            self.proj_in = tnn.Conv2d(ch, ch, 1)
+            self.proj_out = tnn.Conv2d(ch, ch, 1)
         self.transformer_blocks = tnn.ModuleList(
             [TLDMBasicBlock(ch, heads, ctx) for _ in range(depth)])
-        self.proj_out = tnn.Linear(ch, ch)
 
     def forward(self, x, context):
         B, C, H, W = x.shape
         res = x
-        h = self.norm(x).permute(0, 2, 3, 1).reshape(B, H * W, C)
-        h = self.proj_in(h)
+        h = self.norm(x)
+        if self.linear_proj:
+            h = h.permute(0, 2, 3, 1).reshape(B, H * W, C)
+            h = self.proj_in(h)
+        else:
+            h = self.proj_in(h)
+            h = h.permute(0, 2, 3, 1).reshape(B, H * W, C)
         for blk in self.transformer_blocks:
             h = blk(h, context)
-        h = self.proj_out(h)
-        return h.reshape(B, H, W, C).permute(0, 3, 1, 2) + res
+        if self.linear_proj:
+            h = self.proj_out(h)
+            h = h.reshape(B, H, W, C).permute(0, 3, 1, 2)
+        else:
+            h = h.reshape(B, H, W, C).permute(0, 3, 1, 2)
+            h = self.proj_out(h)
+        return h + res
 
 
 def _t_downsampler(cout, vae=False):
@@ -1202,8 +1218,9 @@ class TorchUNet2DCondition(tnn.Module):
 
     def __init__(self, in_ch=8, out_ch=4, block_out=(32, 64),
                  layers_per_block=1, heads=(1, 2),
-                 cross_attn=(True, False), ctx=16):
+                 cross_attn=(True, False), ctx=16, linear_proj=True):
         super().__init__()
+        lp = linear_proj
         self.block_out, self.lpb = block_out, layers_per_block
         self.cross = cross_attn
         temb = block_out[0] * 4
@@ -1221,7 +1238,8 @@ class TorchUNet2DCondition(tnn.Module):
                  for j in range(layers_per_block)])
             if cross_attn[i]:
                 blk.attentions = tnn.ModuleList(
-                    [TLDMTransformer2D(c, heads[i], ctx)
+                    [TLDMTransformer2D(c, heads[i], ctx,
+                                       linear_proj=lp)
                      for _ in range(layers_per_block)])
             if i < n - 1:
                 blk.downsamplers = tnn.ModuleList([_t_downsampler(c)])
@@ -1231,7 +1249,7 @@ class TorchUNet2DCondition(tnn.Module):
         self.mid_block.resnets = tnn.ModuleList(
             [TLDMResnet(ch, ch, temb), TLDMResnet(ch, ch, temb)])
         self.mid_block.attentions = tnn.ModuleList(
-            [TLDMTransformer2D(ch, heads[-1], ctx)])
+            [TLDMTransformer2D(ch, heads[-1], ctx, linear_proj=lp)])
         self.up_blocks = tnn.ModuleList()
         for k in range(n):
             i = n - 1 - k
@@ -1246,7 +1264,8 @@ class TorchUNet2DCondition(tnn.Module):
             blk.resnets = tnn.ModuleList(rs)
             if cross_attn[i]:
                 blk.attentions = tnn.ModuleList(
-                    [TLDMTransformer2D(c, heads[i], ctx)
+                    [TLDMTransformer2D(c, heads[i], ctx,
+                                       linear_proj=lp)
                      for _ in range(layers_per_block + 1)])
             if i > 0:
                 blk.upsamplers = tnn.ModuleList([_t_upsampler(c)])
