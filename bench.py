@@ -122,10 +122,16 @@ def main() -> None:
 
         outs = det_scan(variables, jnp.asarray(x))
         jax.block_until_ready(outs)
-        t0 = time.time()
-        outs = det_scan(variables, jnp.asarray(x) * 1.0001)
-        jax.block_until_ready(outs)
-        return 8 / (time.time() - t0)
+        # best of 3 — tunnel latency spikes otherwise pollute the
+        # recorded number (fresh input each run: runtime memoizes)
+        best = np.inf
+        for i in range(3):
+            t0 = time.time()
+            outs = det_scan(variables,
+                            jnp.asarray(x) * (1.0 + 1e-4 * (i + 1)))
+            jax.block_until_ready(outs)
+            best = min(best, time.time() - t0)
+        return 8 / best
 
     det_fps_f32 = det_bench(None)
     try:
