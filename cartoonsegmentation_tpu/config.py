@@ -79,7 +79,7 @@ class KenBurnsConfig:
     dof_num_samples: int = 32
 
     # --- inpainting ---
-    inpaint_type: str = 'default'           # default | patchmatch | ldm
+    inpaint_type: str = 'default'           # default | patchmatch | ldm | ldm_native
     point_capacity_factor: float = 2.0      # P_max = factor * H * W
     discfill_max_steps: int = 128           # ray-march cap (exact fill)
     discfill_mode: str = 'fast'             # fast (shear-scan) | exact

@@ -146,27 +146,17 @@ def _areas(entry: Dict, boxes: np.ndarray, masks, iou_type: str,
     return a
 
 
-def coco_map(predictions: List[Dict], gts: List[Dict],
-             iou_type: str = 'bbox', max_dets: int = 100,
-             area_rng=None) -> Dict:
-    """predictions/gts: per-image dicts with keys
-    'bboxes' (N,4 xywh), 'scores' (preds), 'masks' (list of HxW bool,
-    only for iou_type='segm'), optional 'areas'.
-    ``area_rng``: (lo, hi) area range or a name from AREA_RNG —
-    gts outside the range are ignored, unmatched dts outside it are
-    neither TP nor FP (pycocotools semantics).
-    Returns {'mAP', 'mAP_50', 'mAP_75', 'AP_per_iou', 'AR'} where AR
-    is the max recall at this max_dets averaged over IoU thresholds."""
-    n_thr = len(IOU_THRS)
-    if isinstance(area_rng, str):
-        area_rng = AREA_RNG[area_rng]
-    all_scores, all_tp, all_ig = [], [], []
-    n_gt = 0
+def _prepare_images(predictions: List[Dict], gts: List[Dict],
+                    iou_type: str, max_cap: int) -> List[Dict]:
+    """Per-image IoU matrices / sorted scores / areas, computed ONCE
+    (pycocotools computes ious per image and reuses them across every
+    areaRng/maxDets slice — mask IoU is the dominant cost)."""
+    out = []
     for pred, gt in zip(predictions, gts):
         # stable score sort (pycocotools uses kind='mergesort'; with
         # tied scores an unstable sort changes AP)
         order = np.argsort(-np.asarray(pred.get('scores', [])),
-                           kind='mergesort')[:max_dets]
+                           kind='mergesort')[:max_cap]
         scores = np.asarray(pred.get('scores', []))[order]
         iscrowd = np.asarray(gt.get('iscrowd',
                                     np.zeros(len(gt.get('bboxes', [])),
@@ -192,11 +182,40 @@ def coco_map(predictions: List[Dict], gts: List[Dict],
             if iscrowd.any() and len(dt_m):
                 crowd_iou = _mask_iou_crowd(dt_m, gt_m)
                 iou = np.where(iscrowd[None, :len(gt_m)], crowd_iou, iou)
-            dt_area = _areas(pred, None, dt_m, 'segm')
+            dt_area = _areas(pred, None, dt_m, 'segm', order)
             gt_area = _areas(gt, None, gt_m, 'segm')
             n_inst = len(gt_m)
         crowd = iscrowd if len(iscrowd) else np.zeros(n_inst, bool)
-        if area_rng is not None and n_inst:
+        out.append({'scores': scores, 'iou': iou, 'crowd': crowd,
+                    'dt_area': dt_area, 'gt_area': gt_area})
+    return out
+
+
+def coco_map(predictions: List[Dict], gts: List[Dict],
+             iou_type: str = 'bbox', max_dets: int = 100,
+             area_rng=None, _prepared=None) -> Dict:
+    """predictions/gts: per-image dicts with keys
+    'bboxes' (N,4 xywh), 'scores' (preds), 'masks' (list of HxW bool,
+    only for iou_type='segm'), optional 'areas'.
+    ``area_rng``: (lo, hi) area range or a name from AREA_RNG —
+    gts outside the range are ignored, unmatched dts outside it are
+    neither TP nor FP (pycocotools semantics).
+    Returns {'mAP', 'mAP_50', 'mAP_75', 'AP_per_iou', 'AR'} where AR
+    is the max recall at this max_dets averaged over IoU thresholds."""
+    n_thr = len(IOU_THRS)
+    if isinstance(area_rng, str):
+        area_rng = AREA_RNG[area_rng]
+    if _prepared is None:
+        _prepared = _prepare_images(predictions, gts, iou_type,
+                                    max_dets)
+    all_scores, all_tp, all_ig = [], [], []
+    n_gt = 0
+    for im in _prepared:
+        scores = im['scores'][:max_dets]
+        iou = im['iou'][:max_dets]
+        dt_area = im['dt_area'][:max_dets]
+        crowd, gt_area = im['crowd'], im['gt_area']
+        if area_rng is not None and len(crowd):
             gt_out = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
             gt_ignore = crowd | gt_out
         else:
@@ -259,20 +278,23 @@ def coco_summary(predictions: List[Dict], gts: List[Dict],
     AP@[.5:.95]/50/75, AP small/medium/large (maxDets=100),
     AR@1/10/100 (area all), AR small/medium/large (maxDets=100)."""
     out: Dict[str, float] = {}
+    # per-image IoU/areas computed once, reused by every slice
+    prepared = _prepare_images(predictions, gts, iou_type, 100)
     base = coco_map(predictions, gts, iou_type, max_dets=100,
-                    area_rng='all')
+                    area_rng='all', _prepared=prepared)
     out['AP'] = base['mAP']
     out['AP_50'] = base['mAP_50']
     out['AP_75'] = base['mAP_75']
     out['AR_100'] = base['AR']
     for name in ('small', 'medium', 'large'):
         m = coco_map(predictions, gts, iou_type, max_dets=100,
-                     area_rng=name)
+                     area_rng=name, _prepared=prepared)
         out[f'AP_{name}'] = m['mAP']
         out[f'AR_{name}'] = m['AR']
     for k in (1, 10):
         out[f'AR_{k}'] = coco_map(predictions, gts, iou_type,
-                                  max_dets=k, area_rng='all')['AR']
+                                  max_dets=k, area_rng='all',
+                                  _prepared=prepared)['AR']
     return out
 
 

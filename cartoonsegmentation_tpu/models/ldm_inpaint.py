@@ -22,7 +22,6 @@ text_encoder/ tokenizer/) — e.g. runwayml/stable-diffusion-inpainting.
 """
 from __future__ import annotations
 
-import functools
 import json
 from typing import Dict, List, Optional, Tuple
 
@@ -80,7 +79,6 @@ class ClipTokenizer:
             r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re.IGNORECASE)
         self.bos = self.encoder.get('<|startoftext|>', 49406)
         self.eos = self.encoder.get('<|endoftext|>', 49407)
-        self._cache: Dict[str, List[int]] = {}
 
     def _bpe(self, token: str) -> List[str]:
         # CLIP convention: the last character carries the </w> marker
@@ -135,7 +133,15 @@ def clip_text_embed(text_sd: Dict, token_ids: List[int],
     model = CLIPTextModel(cfg)
     sd = {k[len('text_model.'):] if k.startswith('text_model.') else k:
           torch.as_tensor(np.asarray(v)) for k, v in text_sd.items()}
-    model.text_model.load_state_dict(sd, strict=False)
+    res = model.text_model.load_state_dict(sd, strict=False)
+    n_own = len(model.text_model.state_dict())
+    n_loaded = n_own - len(res.missing_keys)
+    if n_loaded < 0.9 * n_own:
+        raise ValueError(
+            f'CLIP text state dict matched only {n_loaded}/{n_own} '
+            'tensors — wrong key schema (expected text_model.* / '
+            'bare CLIPTextModel keys); prompt embeddings would come '
+            f'from random init. Unexpected: {res.unexpected_keys[:3]}')
     model.eval()
     with torch.no_grad():
         out = model(input_ids=torch.tensor([token_ids]))

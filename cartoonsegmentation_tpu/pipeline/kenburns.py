@@ -405,7 +405,11 @@ class KenBurnsPipeline:
                 self._zoe_vars = self._zoe_net.init(
                     jax.random.PRNGKey(self._seed),
                     jnp.zeros((1, zh, zw, 3), jnp.float32))
-        key = ('zoe_nk' if nk else 'zoe', H, W, zh, zw)
+        # id(net) in the key: the cached fn closes over the net, so a
+        # variant/size rebuild (e.g. after load_zoe_checkpoint flips
+        # N<->NK) must never reuse a closure over the old module
+        key = ('zoe_nk' if want_nk else 'zoe', H, W, zh, zw,
+               id(self._zoe_net))
         if key not in self._jit_cache:
             net = self._zoe_net
             focal, baseline = cfg.focal, cfg.baseline
@@ -658,7 +662,13 @@ class KenBurnsPipeline:
                         steps=o.steps, guidance=o.cfg_scale,
                         seed=o.seed)
                 res = cfg.ldm_inpaint_size or cfg.max_size
-                filled = self._ldm_native(img_u8, mask, res=res)
+                # same 5px ellipse dilation as the webui ldm branch —
+                # diffusion must repaint past the aliased hole border
+                e = 5
+                el = cv2.getStructuringElement(
+                    cv2.MORPH_ELLIPSE, (2 * e + 1, 2 * e + 1))
+                filled = self._ldm_native(img_u8, cv2.dilate(mask, el),
+                                          res=res)
             else:
                 from ..serving.sd_webui import ldm_inpaint_webui
                 e = 5

@@ -102,14 +102,23 @@ def main():
                      optax.adamw(sched, weight_decay=args.weight_decay))
     state = create_train_state(model, jax.random.PRNGKey(args.seed),
                                (args.img_size, args.img_size), tx)
+    resumed_ema = None
     if args.resume:
         LOGGER.info(f'resuming params from {args.resume}')
-        restored = load_params(args.resume,
-                               {'params': state.params,
-                                'batch_stats': state.batch_stats})
-        state = TrainState(restored['params'],
-                           restored['batch_stats'], state.opt_state,
-                           state.step)
+        try:
+            restored = load_params(
+                args.resume,
+                {'params': state.params, 'raw_params': state.params,
+                 'batch_stats': state.batch_stats})
+            raw = restored['raw_params']
+            resumed_ema = restored['params']
+        except Exception:
+            restored = load_params(args.resume,
+                                   {'params': state.params,
+                                    'batch_stats': state.batch_stats})
+            raw = restored['params']
+        state = TrainState(raw, restored['batch_stats'],
+                           state.opt_state, state.step)
 
     ds = MixedDetDataset(parse_sources(args.ann),
                          img_size=args.img_size,
@@ -120,7 +129,10 @@ def main():
                 f'({len(args.ann)} source(s))')
     step_fn = make_train_step(model, tx)
 
-    ema_params = state.params if args.ema_decay > 0 else None
+    ema_params = None
+    if args.ema_decay > 0:
+        ema_params = resumed_ema if resumed_ema is not None \
+            else state.params
 
     viz = None
     if args.viz_dir:
@@ -131,9 +143,11 @@ def main():
     def save(tag=''):
         path = args.ckpt_out if not tag else \
             args.ckpt_out.replace('.msgpack', f'_{tag}.msgpack')
-        # ship the EMA weights (reference checkpoints carry EMA state)
+        # 'params' = the EMA weights (what inference loads — the
+        # reference checkpoints carry EMA state); 'raw_params' = the
+        # raw trajectory, so --resume continues training unsmoothed
         p = ema_params if ema_params is not None else state.params
-        save_params(path, {'params': p,
+        save_params(path, {'params': p, 'raw_params': state.params,
                            'batch_stats': state.batch_stats})
         LOGGER.info(f'saved {path}')
 
