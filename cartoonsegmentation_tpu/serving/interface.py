@@ -51,6 +51,38 @@ class KenBurnsService:
         return {'height': int(H), 'width': int(W),
                 'objFrom': self.obj_from, 'objTo': self.obj_to}
 
+    # keys the /config route may switch at runtime; jit caches key on
+    # everything relevant or are rebuilt via a fresh pipeline object
+    CONFIG_KEYS = ('depth_est', 'inpaint_type', 'depth_field',
+                   'num_frame', 'max_size', 'discfill_mode',
+                   'dof_num_samples', 'depthest_use_medium',
+                   'marigold_steps', 'marigold_ensemble',
+                   'marigold_scheduler', 'ldm_inpaint_size')
+
+    def set_config(self, payload: Dict) -> Dict:
+        """Rebuild the pipeline with updated config knobs, carrying
+        over any loaded weights; drops the cached image state."""
+        from ..pipeline import KenBurnsPipeline
+        kw = {k: payload[k] for k in self.CONFIG_KEYS if k in payload}
+        if not kw:
+            return {'ok': True, 'changed': []}
+        with self.lock:
+            old = self.pipe
+            new = KenBurnsPipeline(old.cfg.replace(**kw))
+            # carry loaded weights + heavyweight sub-models across
+            for attr in ('_disparity_vars', '_inpaint_vars',
+                         '_refine_vars', '_leres_vars', '_p2p_vars',
+                         '_zoe_net', '_zoe_vars', '_zoe_ckpt_path',
+                         '_zoe_ckpt_is_nk', '_marigold', '_ldm_native',
+                         '_detector'):
+                if getattr(old, attr, None) is not None:
+                    setattr(new, attr, getattr(old, attr))
+            self.pipe = new
+            self.state = None
+            self.obj_from = self.obj_to = None
+            self.frame_cache.clear()
+        return {'ok': True, 'changed': sorted(kw)}
+
     def update_box(self, which: str, box: Dict) -> None:
         with self.lock:
             tgt = dict(self.obj_from if which == 'from' else self.obj_to)
@@ -212,6 +244,9 @@ def make_handler(service: KenBurnsService):
                     self._json({'ok': True})
                 elif path == '/style':
                     self._json(service.style(json.loads(body or b'{}')))
+                elif path == '/config':
+                    self._json(service.set_config(
+                        json.loads(body or b'{}')))
                 else:
                     self._json({'error': 'not found'}, 404)
             except Exception as e:  # noqa: BLE001 — service seam
@@ -232,8 +267,12 @@ def make_handler(service: KenBurnsService):
                 elif parsed.path == '/get_result':
                     self._send(200, service.result_video(), 'video/mp4')
                 elif parsed.path == '/health':
+                    cfg = service.pipe.cfg
                     self._json({'ok': True,
-                                'loaded': service.state is not None})
+                                'loaded': service.state is not None,
+                                'config': {k: getattr(cfg, k)
+                                           for k in
+                                           service.CONFIG_KEYS}})
                 else:
                     self._json({'error': 'not found'}, 404)
             except Exception as e:  # noqa: BLE001

@@ -39,7 +39,16 @@ PAGE_HTML = """<!doctype html>
 
 <div id="pane_kb" class="pane on">
  <div class="row"><input type="file" id="kb_file" accept="image/*">
-  <button onclick="kbLoad()">Process</button></div>
+  <button onclick="kbLoad()">Process</button>
+  <label>depth <select id="cfg_depth">
+   <option>leres</option><option>leres_boost</option>
+   <option>zoe</option><option>zoe_nk</option>
+   <option>default</option><option>marigold</option></select></label>
+  <label>inpaint <select id="cfg_inpaint">
+   <option>default</option><option>patchmatch</option>
+   <option>ldm</option><option>ldm_native</option></select></label>
+  <label>DoF <input type="checkbox" id="cfg_dof" checked></label>
+  <button onclick="cfgApply()">apply config</button></div>
  <div class="row">
   t=<input type="range" id="kb_t" min="0" max="1" step="0.02" value="0"
      oninput="kbLive()">
@@ -111,6 +120,15 @@ function kbLive(){
   const t=document.getElementById('kb_t').value;
   document.getElementById('kb_img').src='/get_live?fltTime='+t+
     '&_='+Date.now();}
+async function cfgApply(){
+  const body={depth_est:document.getElementById('cfg_depth').value,
+    inpaint_type:document.getElementById('cfg_inpaint').value,
+    depth_field:document.getElementById('cfg_dof').checked};
+  const r=await fetch('/config',{method:'POST',
+    body:JSON.stringify(body)});
+  const j=await r.json();
+  if(j.error){st('error: '+j.error);return}
+  st('config applied ('+j.changed.join(', ')+') — reload the image');}
 async function kbUpdate(){
   for(const [p,ep] of [['f','/update_from'],['t','/update_to']]){
     const box={center_u:+document.getElementById(p+'_cx').value,

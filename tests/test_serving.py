@@ -23,7 +23,9 @@ def test_server_roundtrip(rng):
     base = f'http://127.0.0.1:{port}'
     try:
         r = requests.get(f'{base}/health')
-        assert r.json() == {'ok': True, 'loaded': False}
+        h = r.json()
+        assert h['ok'] is True and h['loaded'] is False
+        assert h['config']['depth_est'] == 'default'
 
         img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
         ok, enc = cv2.imencode('.png', img)
@@ -155,3 +157,41 @@ def test_style_route(rng, tmp_path):
     finally:
         srv.shutdown()
         sd.shutdown()
+
+
+def test_config_route_switches_pipeline(rng):
+    """POST /config rebuilds the pipeline with new knobs, keeps
+    loaded weights, and drops the cached image state."""
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         point_capacity_factor=1.2,
+                         depth_est='default', playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    sentinel_vars = {'marker': np.zeros(1)}
+    pipe._leres_vars = sentinel_vars
+    srv = serve(pipe, '127.0.0.1', 0, block=False)
+    port = srv.server_address[1]
+    base = f'http://127.0.0.1:{port}'
+    try:
+        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        requests.post(f'{base}/load_image', data=enc.tobytes())
+        assert requests.get(f'{base}/health').json()['loaded'] is True
+
+        r = requests.post(f'{base}/config', data=json.dumps(
+            {'depth_field': True, 'num_frame': 2,
+             'dof_num_samples': 8, 'unknown_key': 1}))
+        body = r.json()
+        assert body['ok'] is True
+        assert set(body['changed']) == {'depth_field', 'num_frame',
+                                        'dof_num_samples'}
+        h = requests.get(f'{base}/health').json()
+        assert h['loaded'] is False            # state dropped
+        assert h['config']['depth_field'] is True
+        assert h['config']['num_frame'] == 2
+
+        # weights carried to the rebuilt pipeline; it still serves
+        requests.post(f'{base}/load_image', data=enc.tobytes())
+        r = requests.get(f'{base}/get_live?fltTime=0.5')
+        assert r.status_code == 200
+    finally:
+        srv.shutdown()
