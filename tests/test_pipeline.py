@@ -159,3 +159,15 @@ def test_stream_video_yuv420_roundtrip(rng, tmp_path):
     cap = cv2.VideoCapture(p)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5 + 3
     cap.release()
+
+
+def test_stream_video_odd_dims_fallback(rng, tmp_path):
+    """Odd frame heights can't be I420-packed — stream_video must fall
+    back to raw BGR transfer and stay byte-exact."""
+    import jax.numpy as jnp
+    from cartoonsegmentation_tpu.pipeline import stream_video
+
+    frames = (rng.rand(3, 30, 47, 3) * 255).astype(np.uint8)
+    got = stream_video(jnp.asarray(frames),
+                       str(tmp_path / 'odd.mp4'), playback=False)
+    np.testing.assert_array_equal(got, frames)
