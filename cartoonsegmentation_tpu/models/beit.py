@@ -37,9 +37,13 @@ def rel_pos_index(wh: int, ww: int) -> np.ndarray:
     n = wh * ww
     idx = np.zeros((n + 1, n + 1), np.int64)
     idx[1:, 1:] = rel.sum(-1)
-    idx[0, 0:] = num_rel + 2
-    idx[0:, 0] = num_rel + 1
-    idx[0, 0] = num_rel
+    # timm beit gen_relative_position_index trailing-row order:
+    # cls-as-query rows get num-3, cls-as-key cols num-2, cls-to-cls
+    # num-1 (table size num_rel+3) — assignment order matters, the
+    # later writes overwrite the earlier ones at row/col 0
+    idx[0, 0:] = num_rel          # num_relative_distance - 3
+    idx[0:, 0] = num_rel + 1      # num_relative_distance - 2
+    idx[0, 0] = num_rel + 2       # num_relative_distance - 1
     return idx
 
 

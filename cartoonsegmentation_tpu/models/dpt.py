@@ -122,7 +122,10 @@ class DPTBeit(nn.Module):
         hooks: Dict[str, jnp.ndarray] = {
             'out_conv': out_conv_act,
             'l4_rn': rn[3],
-            'r4': r4,
+            # MiDaS's r4 hook fires AFTER interpolation to layer_3's
+            # grid — export the cropped tensor so odd backbone grids
+            # keep the hook aligned with the torch reference
+            'r4': r4c,
             'r3': r3,
             'r2': r2,
             'r1': r1,

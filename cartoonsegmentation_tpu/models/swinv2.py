@@ -74,36 +74,44 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def shift_attn_mask(hp: int, wp: int, window: int,
-                    shift: int) -> np.ndarray:
-    """(num_windows, w*w, w*w) additive mask (0 / -100) for shifted
-    windows on a (hp, wp) padded feature map."""
+def shift_attn_mask(hp: int, wp: int, window, shift) -> np.ndarray:
+    """(num_windows, wh*ww, wh*ww) additive mask (0 / -100) for
+    shifted windows on a (hp, wp) padded feature map. ``window`` and
+    ``shift`` may be ints (square) or per-axis (wh, ww)/(sh, sw) —
+    an axis with zero shift contributes a single region (the timm
+    per-axis suppression rule)."""
+    wh, ww = (window, window) if isinstance(window, int) else window
+    sh, sw = (shift, shift) if isinstance(shift, int) else shift
     img = np.zeros((hp, wp), np.int32)
     cnt = 0
-    for hs in (slice(0, -window), slice(-window, -shift),
-               slice(-shift, None)):
-        for ws in (slice(0, -window), slice(-window, -shift),
-                   slice(-shift, None)):
+    hslices = ((slice(0, -wh), slice(-wh, -sh), slice(-sh, None))
+               if sh else (slice(None),))
+    wslices = ((slice(0, -ww), slice(-ww, -sw), slice(-sw, None))
+               if sw else (slice(None),))
+    for hs in hslices:
+        for ws in wslices:
             img[hs, ws] = cnt
             cnt += 1
-    win = img.reshape(hp // window, window, wp // window, window)
-    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    win = img.reshape(hp // wh, wh, wp // ww, ww)
+    win = win.transpose(0, 2, 1, 3).reshape(-1, wh * ww)
     diff = win[:, None, :] != win[:, :, None]
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
 
-def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
-    """(B, H, W, C) -> (B*nW, w*w, C); H, W multiples of w."""
+def window_partition(x: jnp.ndarray, w) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, wh*ww, C); H, W multiples of wh/ww."""
+    wh, ww = (w, w) if isinstance(w, int) else w
     B, H, W, C = x.shape
-    x = x.reshape(B, H // w, w, W // w, w, C)
+    x = x.reshape(B, H // wh, wh, W // ww, ww, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(-1, w * w, C)
+    return x.reshape(-1, wh * ww, C)
 
 
-def window_reverse(x: jnp.ndarray, w: int, H: int, W: int) -> jnp.ndarray:
-    """(B*nW, w*w, C) -> (B, H, W, C)."""
+def window_reverse(x: jnp.ndarray, w, H: int, W: int) -> jnp.ndarray:
+    """(B*nW, wh*ww, C) -> (B, H, W, C)."""
+    wh, ww = (w, w) if isinstance(w, int) else w
     C = x.shape[-1]
-    x = x.reshape(-1, H // w, W // w, w, w, C)
+    x = x.reshape(-1, H // wh, W // ww, wh, ww, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(-1, H, W, C)
 
@@ -181,33 +189,37 @@ class SwinV2Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        # timm rule: shrink the window to the map when it is larger,
-        # and drop the shift when a single window covers everything
-        w = min(self.window, H, W)
-        use_shift = self.shift > 0 and (H > w or W > w)
-        shift = (w // 2) if use_shift else 0
+        # timm _calc_window_shift, PER AXIS: an axis fully covered by
+        # one window shrinks the window to the map and drops its
+        # shift; the other axis keeps the configured window/shift
+        # (rectangular windows on non-square maps)
+        wh = H if H <= self.window else self.window
+        ww = W if W <= self.window else self.window
+        sh = self.shift if (self.shift > 0 and H > wh) else 0
+        sw = self.shift if (self.shift > 0 and W > ww) else 0
 
-        pad_h = (-H) % w
-        pad_w = (-W) % w
+        pad_h = (-H) % wh
+        pad_w = (-W) % ww
         xa = x
         if pad_h or pad_w:
             xa = jnp.pad(xa, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         Hp, Wp = H + pad_h, W + pad_w
 
-        if shift:
-            xa = jnp.roll(xa, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shift_attn_mask(Hp, Wp, w, shift))
+        if sh or sw:
+            xa = jnp.roll(xa, (-sh, -sw), axis=(1, 2))
+            mask = jnp.asarray(
+                shift_attn_mask(Hp, Wp, (wh, ww), (sh, sw)))
         else:
             mask = None
 
-        wins = window_partition(xa, w)
+        wins = window_partition(xa, (wh, ww))
         attn = WindowAttentionV2(
-            self.dim, self.num_heads, (w, w),
+            self.dim, self.num_heads, (wh, ww),
             (self.pretrained_window_size,) * 2, name='attn')(wins, mask)
-        xa = window_reverse(attn, w, Hp, Wp)
+        xa = window_reverse(attn, (wh, ww), Hp, Wp)
 
-        if shift:
-            xa = jnp.roll(xa, (shift, shift), axis=(1, 2))
+        if sh or sw:
+            xa = jnp.roll(xa, (sh, sw), axis=(1, 2))
         if pad_h or pad_w:
             xa = xa[:, :H, :W]
 

@@ -110,8 +110,13 @@ def _shear_tables(H: int, W: int, dx: float, dy: float):
     off[y] = round(y * dx/dy); sheared column x' = x - off[y] + base."""
     slope = dx / dy
     off = _c_round(np.arange(H, dtype=np.float64) * slope).astype(np.int32)
-    base = int(-off.min())
-    Wp = W + int(off.max()) + base
+    # coverage: image pixel (y, x) lives at sheared column
+    # x' = x + base - off[y]; x' >= 0 for all y requires
+    # base = off.max() (base = -off.min() left a triangular region of
+    # pixels unmapped for positive-slope directions — the unshear
+    # then read a neighboring line's results)
+    base = int(off.max())
+    Wp = W + base - int(off.min())
     return off, base, Wp
 
 

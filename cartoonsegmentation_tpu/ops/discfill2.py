@@ -51,8 +51,20 @@ def _row_shift(a: jnp.ndarray, p: int, q: int, const: int, Wout: int,
                fill: float) -> jnp.ndarray:
     """B[y, j] = a[y, j + const + round(y*p/q)], out-of-range → fill.
 
-    Pure slices/reshapes/concats — no gathers. a: (H, W_in) float."""
+    Pure slices/reshapes/concats — no gathers. a: (H, W_in) float.
+
+    The stride-reshape skew below is only garbage-free for p >= 0
+    with a block width covering every in-range source column
+    (j + z·p must stay inside the block for all in-range sources —
+    the old fixed Wout+|p| margin leaked neighboring-line data into
+    the unshear direction); negative slopes reduce to the positive
+    case by mirroring the columns (off_{-p}[y] = -off_p[y] exactly,
+    C-rounding is odd)."""
     H, W_in = a.shape
+    if p < 0:
+        out = _row_shift(a[:, ::-1], -p, q, W_in - Wout - const,
+                         Wout, fill)
+        return out[:, ::-1]
     off, _, _ = _offsets_np(H, p, q)
 
     Hq = -(-H // q) * q
@@ -60,7 +72,11 @@ def _row_shift(a: jnp.ndarray, p: int, q: int, const: int, Wout: int,
     if Hq != H:
         a = jnp.pad(a, ((0, Hq - H), (0, 0)), constant_values=fill)
 
-    Wc = Wout + abs(p)
+    # in-range sources satisfy j + z*p < W_in - const - min_r off[r];
+    # the block must contain them all
+    minr = min(off[r] for r in range(min(q, len(off)))) if len(off) \
+        else 0
+    Wc = max(Wout + p, W_in - const - minr, 1)
 
     # step 1: per-residue constant shifts (s_r = const + off[r])
     per_r = []
@@ -118,8 +134,10 @@ def _direction_pass(depth, p: int, q: int):
     (found, dist, ey, ex) in this orientation's image space."""
     H, W = depth.shape
     off, omin, omax = _offsets_np(H, p, q)
-    base = -omin
-    Wp = W + omax + base
+    # base = omax so every image pixel has a sheared column
+    # (see ops/discfill.py:_shear_tables coverage note)
+    base = omax
+    Wp = W + base - omin
 
     d_s = _row_shift(depth, p, q, -base, Wp, fill=-1.0)
     inframe = d_s >= 0.0          # fill=-1 marks out-of-frame

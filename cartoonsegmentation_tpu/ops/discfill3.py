@@ -40,8 +40,10 @@ def _direction_pass_v3(valid_f: jnp.ndarray, p: int, q: int, H: int,
     (found, dist2, y_f, x_f, y_t, x_t) — endpoints of the from/to
     walks (from = decreasing row)."""
     off, omin, omax = _offsets_np(H, p, q)
-    base = -omin
-    Wp = W + omax + base
+    # base = omax so every image pixel has a sheared column
+    # (see ops/discfill.py:_shear_tables coverage note)
+    base = omax
+    Wp = W + base - omin
 
     v_s = _row_shift(valid_f, p, q, -base, Wp, fill=-1.0)
     inframe = v_s >= 0.0

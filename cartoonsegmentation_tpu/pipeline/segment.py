@@ -217,6 +217,8 @@ class AnimeInsSeg:
             valid = jnp.asarray(out['valid'][i]) & \
                 (jnp.asarray(out['scores'][i]) > pred_score_thr)
             bboxes = jnp.asarray(out['bboxes'][i]) / scale
+            bboxes = jnp.clip(bboxes, jnp.zeros((4,)),
+                              jnp.asarray([w, h, w, h], jnp.float32))
             xywh = jnp.concatenate(
                 [bboxes[:, :2], bboxes[:, 2:] - bboxes[:, :2]], 1)
             ins = Instances(masks=masks & valid[:, None, None],
@@ -242,7 +244,9 @@ class AnimeInsSeg:
         x, scale, (nh, nw) = self._preprocess(img)
         variables = self._ensure_variables()
 
-        if getattr(self, '_embed_fn', None) is None:
+        if getattr(self, '_embed_fns', None) is None:
+            self._embed_fns = {}
+        if pre_topk not in self._embed_fns:
             from ..models.rtmdet import (NUM_GEN_PARAMS, STRIDES,
                                          distance2bbox, level_priors)
 
@@ -276,15 +280,19 @@ class AnimeInsSeg:
                     'strides': jnp.concatenate(strides)[top],
                     'mask_feat': mask_feat[0],
                 }
-            self._embed_fn = fn
-        emb = self._embed_fn(variables, jnp.asarray(x))
+            self._embed_fns[pre_topk] = fn
+        emb = self._embed_fns[pre_topk](variables, jnp.asarray(x))
         return emb, img, scale, (nh, nw)
 
     def segment_with_bboxes(self, img: Union[str, np.ndarray],
-                            bboxes_xyxy: np.ndarray) -> Instances:
+                            bboxes_xyxy: np.ndarray,
+                            min_iou: float = 0.05) -> Instances:
         """Decode instance masks for externally provided boxes by IoU-
         matching them to the strongest candidates and running their
-        dynamic mask heads. Parity: animeinsseg/__init__.py:339-393."""
+        dynamic mask heads. Boxes whose best candidate IoU falls below
+        ``min_iou`` come back with valid=False (a bare argmax would
+        silently match a zero-overlap box to candidate 0).
+        Parity: animeinsseg/__init__.py:339-393."""
         from ..models.rtmdet import box_iou, dynamic_mask_heads
         emb, img, scale, (nh, nw) = self.infer_embeddings(img)
         h, w = img.shape[:2]
@@ -292,6 +300,7 @@ class AnimeInsSeg:
         boxes = jnp.asarray(np.asarray(bboxes_xyxy, np.float32)) * scale
         iou = box_iou(boxes, emb['bboxes'])             # (Q, K)
         match = jnp.argmax(iou, axis=1)
+        matched_ok = jnp.max(iou, axis=1) >= min_iou
         logits = dynamic_mask_heads(
             emb['mask_feat'], emb['kernels'][match],
             emb['priors'][match], emb['strides'][match])
@@ -306,9 +315,10 @@ class AnimeInsSeg:
             [matched_boxes[:, :2],
              matched_boxes[:, 2:] - matched_boxes[:, :2]], 1)
         ins = Instances(
-            masks=masks, bboxes=jnp.round(xywh),
-            scores=emb['scores'][match],
-            valid=jnp.ones((masks.shape[0],), jnp.bool_))
+            masks=masks & matched_ok[:, None, None],
+            bboxes=jnp.round(xywh) * matched_ok[:, None],
+            scores=emb['scores'][match] * matched_ok,
+            valid=matched_ok)
         if self.refine is not None:
             ins = self.refine(ins, img)
         return ins

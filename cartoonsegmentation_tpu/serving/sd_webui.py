@@ -17,21 +17,18 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..utils import LOGGER
+from ..utils.io import b64_2img  # noqa: F401 — re-exported seam
+from ..utils.io import img2b64 as _io_img2b64
 
 
-def img2b64(img: np.ndarray) -> str:
-    """ndarray (RGB or L) → base64 PNG string."""
-    from PIL import Image
+def img2b64(img) -> str:
+    """ndarray (RGB or L) or PIL image → base64 PNG string (the
+    ndarray path is utils/io.py's single implementation)."""
     if isinstance(img, np.ndarray):
-        img = Image.fromarray(img)
+        return _io_img2b64(img)
     buf = io.BytesIO()
     img.save(buf, format='PNG')
     return base64.b64encode(buf.getvalue()).decode('utf-8')
-
-
-def b64_2img(b64: str) -> np.ndarray:
-    from PIL import Image
-    return np.array(Image.open(io.BytesIO(base64.b64decode(b64))))
 
 
 def submit_request(url: str, data: str, auth: Optional[Tuple[str, str]]
@@ -68,7 +65,8 @@ def ldm_inpaint_webui(img: np.ndarray, mask: np.ndarray, resolution: int,
 
     auth = None
     if options.get('username'):
-        auth = (options.pop('username'), options.pop('password'))
+        auth = (options.pop('username'),
+                options.pop('password', ''))
     options.pop('username', None)
     options.pop('password', None)
 
@@ -101,6 +99,13 @@ def run_img2img(img_b64: str, data: Dict, prompt: str, nprompt: str,
     data['negative_prompt'] = nprompt
     cn = data.get('alwayson_scripts', {}).get('controlnet')
     if cn and cn.get('args'):
+        # deep-copy the nested block before writing the (multi-MB)
+        # conditioning image — the shallow dict(data) copy must not
+        # leak it into the caller's reusable request template
+        import copy
+        data['alwayson_scripts'] = copy.deepcopy(
+            data['alwayson_scripts'])
+        cn = data['alwayson_scripts']['controlnet']
         cn['args'][0]['input_image'] = (controlnet_input or img_b64)
     resp = submit_request(url, json.dumps(data), auth=auth)
     return resp.json()['images'][0]

@@ -29,10 +29,19 @@ def test_infer_embeddings_and_box_prompt(seg, rng):
     assert emb['kernels'].shape[1] == 169
     assert emb['mask_feat'].shape[-1] == 8
 
+    # min_iou=0 keeps every prompt matched (random-init candidate
+    # boxes are arbitrary, so overlap isn't guaranteed here)
     ins = seg.segment_with_bboxes(
-        img, np.array([[10, 10, 60, 90], [70, 20, 130, 95]]))
+        img, np.array([[10, 10, 60, 90], [70, 20, 130, 95]]),
+        min_iou=0.0)
     assert ins.masks.shape == (2, 100, 140)
     assert int(ins.count()) == 2
+    # the default gate marks zero-overlap prompts invalid instead of
+    # silently returning candidate 0's instance
+    far = seg.segment_with_bboxes(
+        img, np.array([[-500, -500, -490, -490]]), min_iou=0.05)
+    assert int(far.count()) == 0
+    assert not bool(far.valid[0])
 
 
 def test_tagger_stub_deterministic(rng):

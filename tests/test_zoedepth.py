@@ -17,10 +17,12 @@ def test_rel_pos_index_properties():
     n = 9
     assert idx.shape == (n + 1, n + 1)
     num_rel = 25
-    # cls entries
-    assert idx[0, 0] == num_rel
+    # cls entries — timm gen_relative_position_index layout:
+    # row 0 (cls query) = num-3, col 0 (cls key) = num-2,
+    # corner (cls-cls) = num-1 for a table of size num_rel+3
+    assert (idx[0, 1:] == num_rel).all()
     assert (idx[1:, 0] == num_rel + 1).all()
-    assert (idx[0, 1:] == num_rel + 2).all()
+    assert idx[0, 0] == num_rel + 2
     # symmetric displacement: idx[i,j] of (dy,dx) equals idx of (-dy,-dx)
     center = idx[5, 5]  # self-pair → zero displacement bucket
     assert (np.diag(idx)[1:] == center).all()

@@ -191,12 +191,34 @@ class TorchLeReS(tnn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _timm_beit_rel_pos_index(wh, ww):
+    """INDEPENDENT transcription of timm beit
+    gen_relative_position_index (do NOT import the flax module's
+    version here — a shared helper would blind the parity test to
+    index-layout bugs, which already happened once with the swapped
+    cls rows)."""
+    import numpy as _np
+    coords = _np.stack(_np.meshgrid(_np.arange(wh), _np.arange(ww),
+                                    indexing='ij')).reshape(2, -1)
+    rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0)
+    rel = rel.astype(_np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    num = (2 * wh - 1) * (2 * ww - 1) + 3
+    n = wh * ww
+    idx = _np.zeros((n + 1, n + 1), _np.int64)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num - 3
+    idx[0:, 0] = num - 2
+    idx[0, 0] = num - 1
+    return idx
+
+
 class TBeitAttention(tnn.Module):
     def __init__(self, dim, heads, grid):
         super().__init__()
-        import sys
-        sys.path.insert(0, '/root/repo')
-        from cartoonsegmentation_tpu.models.beit import rel_pos_index
+        rel_pos_index = _timm_beit_rel_pos_index
         self.heads = heads
         self.qkv = tnn.Linear(dim, 3 * dim, bias=False)
         self.q_bias = tnn.Parameter(torch.zeros(dim))
