@@ -285,3 +285,46 @@ def test_wd_base_config_shapes():
     n_params = sum(int(np.prod(x.shape)) for x in
                    jax.tree_util.tree_leaves(variables['params']))
     assert 80e6 < n_params < 120e6        # SwinV2-B ≈ 87M + head
+
+
+def test_rel_pos_helpers_match_timm_transcription():
+    """INDEPENDENT timm swinv2 transcriptions of the log-CPB coords
+    table and relative-position index must equal our builders exactly
+    (shared helpers between model and torch oracle are blind to
+    layout bugs — a BEiT cls-row swap slipped through that way)."""
+    def timm_table(wh, ww, pwh=0, pww=0):
+        import torch
+        h = torch.arange(-(wh - 1), wh, dtype=torch.float32)
+        w = torch.arange(-(ww - 1), ww, dtype=torch.float32)
+        t = torch.stack(torch.meshgrid([h, w], indexing='ij'))
+        t = t.permute(1, 2, 0).contiguous()
+        if pwh > 0:
+            t[:, :, 0] /= (pwh - 1)
+            t[:, :, 1] /= (pww - 1)
+        else:
+            t[:, :, 0] /= max(wh - 1, 1)
+            t[:, :, 1] /= max(ww - 1, 1)
+        t *= 8
+        t = torch.sign(t) * torch.log2(torch.abs(t) + 1.0) / \
+            np.log2(8)
+        return t.reshape(-1, 2).numpy()
+
+    def timm_index(wh, ww):
+        import torch
+        coords = torch.stack(torch.meshgrid(
+            [torch.arange(wh), torch.arange(ww)], indexing='ij'))
+        flat = torch.flatten(coords, 1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += wh - 1
+        rel[:, :, 1] += ww - 1
+        rel[:, :, 0] *= 2 * ww - 1
+        return rel.sum(-1).numpy()
+
+    for (wh, ww, pwh, pww) in ((4, 4, 0, 0), (4, 6, 0, 0),
+                               (7, 7, 12, 12), (3, 8, 6, 16)):
+        np.testing.assert_allclose(
+            relative_coords_table(wh, ww, pwh, pww),
+            timm_table(wh, ww, pwh, pww), atol=1e-6)
+        np.testing.assert_array_equal(
+            relative_position_index(wh, ww), timm_index(wh, ww))
