@@ -100,9 +100,9 @@ def main() -> None:
     stream_video(frames_nodof, '/tmp/bench_stream.mp4', playback=False)
     transfer_i420_s = time.time() - t0
 
-    # secondary: detector forward+postprocess throughput at 640 in
-    # f32 AND bf16 (scan-chained so tunnel dispatch latency doesn't
-    # pollute it), with a bf16-vs-f32 head agreement check
+    # secondary: detector forward throughput at 640 in f32 AND bf16
+    # (scan-chained so tunnel dispatch latency doesn't pollute it;
+    # bf16-vs-f32 head agreement is asserted in tests/test_detector.py)
     import jax.numpy as jnp
     from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
 
