@@ -76,9 +76,11 @@ def syn_animecoco_dataset(
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)
 
+    if not fg_info_list:
+        raise ValueError('syn_animecoco_dataset: empty fg_info_list')
     syn_num = int(syn_num_multiplier * len(fg_info_list))
     if max_syn_num > 0:
-        syn_num = min(syn_num, max_syn_num) if syn_num else max_syn_num
+        syn_num = min(syn_num, max_syn_num)
     qualities = [75, 85, 95] if is_train else [95]
 
     image_id = image_id_start + 1
@@ -93,6 +95,9 @@ def syn_animecoco_dataset(
             bg = bg_transform(bg, tgt_size, is_train)
 
             method = method_sampler.sample() or 'partition'
+            # one color-correction draw per IMAGE (reference
+            # syndataset.py draws color_correct once per sample)
+            cc = color_sampler.sample()
             boxes = None
             if method == 'personbbox' and pbs is not None:
                 boxes = pbs.sample(tgt_size)
@@ -112,19 +117,34 @@ def syn_animecoco_dataset(
                     fg = rotate_image(fg, random.uniform(-25, 25))
                 h = size_sampler.sample()
                 fg = resize2height(fg, max(h, 16))
-                cc = color_sampler.sample()
                 if cc == 'hist_match':
                     fg = fgbg_hist_matching(fg, bg)
-                elif cc == 'quantize':
-                    q, _, _ = quantize_image(fg[..., :3],
-                                             random.randint(4, 8))
-                    fg = np.concatenate([q, fg[..., 3:]], -1)
                 fgs.append(fg)
             if not fgs:
                 continue
 
             canvas, masks = compose_sample(bg, fgs, method, boxes)
-            masks = [m for m in masks if m.sum() >= 16]
+            if cc == 'quantize':
+                # reference quantizes the WHOLE composited image with
+                # k in {12,16,32} to unify fg/bg palettes
+                # (syndataset.py:131-134)
+                canvas, _, _ = quantize_image(
+                    canvas, random.choice((12, 16, 32)))
+            # occlusion resolution: compose_sample pastes in list
+            # order, so later foregrounds cover earlier ones — each
+            # mask keeps only its VISIBLE pixels, and mostly-hidden
+            # instances are dropped (reference resolves this via the
+            # panoptic id map + <25% visibility cull,
+            # syndataset.py:137-156)
+            resolved = []
+            for i, m in enumerate(masks):
+                vis = np.asarray(m).astype(bool)
+                area = float(vis.sum())
+                for later in masks[i + 1:]:
+                    vis = vis & ~np.asarray(later).astype(bool)
+                if area >= 16 and float(vis.sum()) >= 0.25 * area:
+                    resolved.append(vis)
+            masks = [m for m in resolved if m.sum() >= 16]
             if not masks:
                 continue
 

@@ -132,15 +132,21 @@ class Instances:
     def resize(self, h: int, w: int, mask_thr: float = 0.3) -> 'Instances':
         """Resize masks to (h, w) and rescale bboxes.
 
-        Parity: anime_instances.py:268-280 (bilinear + thr 0.3; the
-        reference's axis mix-up in bbox scaling is fixed here — it was
-        harmless upstream because aspect ratio is always preserved).
+        Parity: anime_instances.py:268-280 — the reference resizes
+        with F.interpolate(mode='area') (its default), which on the
+        kenburns upscale path behaves nearest-like with hard edges;
+        'linear' here dilated boundaries by 1-2 px. Upscales use
+        nearest to match; downscales use linear (closest jax analog
+        of area averaging) with the 0.3 threshold. (The reference's
+        axis mix-up in bbox scaling is fixed here — it was harmless
+        upstream because aspect ratio is always preserved.)
         """
         oh, ow = self.shape_hw
         if (oh, ow) == (h, w):
             return self
+        method = 'nearest' if (h >= oh and w >= ow) else 'linear'
         m = jax.image.resize(self.masks.astype(jnp.float32),
-                             (self.capacity, h, w), method='linear')
+                             (self.capacity, h, w), method=method)
         sx, sy = w / ow, h / oh
         scale = jnp.array([sx, sy, sx, sy], jnp.float32)
         return self.replace(

@@ -75,12 +75,15 @@ def _kmeans_labels(colors: jnp.ndarray, k: int, iters: int = 8
 
 
 def clustered_bilateral(q: jnp.ndarray, guide: jnp.ndarray, sxy: float,
-                        num_clusters: int = 10) -> jnp.ndarray:
+                        num_clusters: int = 10,
+                        labels=None) -> jnp.ndarray:
     """Σ_j k_bilateral(i,j) q_j with the tight-color approximation:
-    interaction only within the same color cluster."""
+    interaction only within the same color cluster. Pass precomputed
+    ``labels`` to avoid re-running k-means on a constant guide."""
     H, W, C = q.shape
-    labels = _kmeans_labels(guide.reshape(-1, guide.shape[-1]),
-                            num_clusters).reshape(H, W)
+    if labels is None:
+        labels = _kmeans_labels(guide.reshape(-1, guide.shape[-1]),
+                                num_clusters).reshape(H, W)
     out = jnp.zeros_like(q)
     for c in range(num_clusters):
         mask = (labels == c).astype(q.dtype)[..., None]
@@ -111,15 +114,23 @@ def densecrf_binary(unary_fg: jnp.ndarray, rgb: jnp.ndarray,
         if rgb.dtype != jnp.float32 else rgb
 
     ones = jnp.ones((H, W, 1), jnp.float32)
-    gauss_norm = _blur2d(ones, gaussian_sxy, 2)
+    # k-means over the constant guide runs ONCE; the messages exclude
+    # the self term (blur(q) - q), so the normalizing masses must
+    # exclude the self weight too or every message is ~self/total
+    # under-weighted
+    labels = _kmeans_labels(guide.reshape(-1, guide.shape[-1]),
+                            num_clusters).reshape(H, W)
+    gauss_norm = _blur2d(ones, gaussian_sxy, 2) - ones + 1e-8
     bilat_norm = clustered_bilateral(ones, guide, bilateral_sxy,
-                                     num_clusters) + 1e-8
+                                     num_clusters, labels=labels) \
+        - ones + 1e-8
 
     q = jax.nn.softmax(-unary, -1)
     for _ in range(iterations):
         m_gauss = (_blur2d(q, gaussian_sxy, 2) - q) / gauss_norm
         m_bilat = (clustered_bilateral(q, guide, bilateral_sxy,
-                                       num_clusters) - q) / bilat_norm
+                                       num_clusters, labels=labels)
+                   - q) / bilat_norm
         msg = gaussian_compat * m_gauss + bilateral_compat * m_bilat
         pairwise = msg[..., ::-1]   # Potts: penalized by other label
         q = jax.nn.softmax(-unary - pairwise, -1)

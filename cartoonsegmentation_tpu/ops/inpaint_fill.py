@@ -77,12 +77,16 @@ def jitter_refine(image: jnp.ndarray, hole: jnp.ndarray,
     key = jax.random.PRNGKey(seed)
 
     def ring(img):
+        # edge-replicated shifts — jnp.roll would wrap the rings
+        # around the frame, scoring border candidates against
+        # opposite-edge content
+        pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode='edge')
         taps = []
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy == 0 and dx == 0:
                     continue
-                taps.append(jnp.roll(img, (-dy, -dx), axis=(0, 1)))
+                taps.append(pad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W])
         return jnp.stack(taps, 0)  # (8, H, W, C)
 
     out = image
