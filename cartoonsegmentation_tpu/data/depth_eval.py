@@ -243,12 +243,22 @@ class HypersimSource(_PairSource):
         super().__init__(imgs)
 
     def _depth_path(self, p: str) -> str:
-        return p.replace('_final_preview', '_geometry_hdf5').replace(
-            '.tonemap.jpg', '.depth_meters.npy')
+        base = p.replace('_final_preview', '_geometry_hdf5').replace(
+            '.tonemap.jpg', '.depth_meters')
+        # the shipped dataset stores hdf5 (hypersim.py:105); .npy is
+        # the synthetic test layout's fallback
+        return base + ('.hdf5' if osp.exists(base + '.hdf5')
+                       else '.npy')
 
     def load(self, idx: int):
         img = _imread_rgb01(self.image_files[idx])
-        dist = np.load(self.depth_files[idx]).astype(np.float32)
+        dp = self.depth_files[idx]
+        if dp.endswith('.hdf5'):
+            import h5py
+            with h5py.File(dp, 'r') as f:
+                dist = np.asarray(f['dataset'], np.float32)
+        else:
+            dist = np.load(dp).astype(np.float32)
         depth = hypersim_distance_to_depth(dist)
         return img, depth[..., None], 0.0
 

@@ -349,14 +349,20 @@ def make_alphas_cumprod(num_train_timesteps: int = 1000,
 
 
 def spaced_timesteps(num_steps: int, num_train: int = 1000,
-                     spacing: str = 'trailing') -> np.ndarray:
-    """Descending inference timesteps (diffusers set_timesteps)."""
+                     spacing: str = 'trailing',
+                     steps_offset: int = 0) -> np.ndarray:
+    """Descending inference timesteps (diffusers set_timesteps).
+
+    ``steps_offset`` shifts every timestep up by that amount (the
+    SD1.x scheduler configs ship steps_offset=1); only meaningful for
+    'leading' spacing, matching diffusers."""
     if spacing == 'trailing':
         ts = np.round(np.arange(num_train, 0,
                                 -num_train / num_steps)).astype(int) - 1
     else:  # leading
         step = num_train // num_steps
         ts = (np.arange(num_steps) * step).round().astype(int)[::-1]
+        ts = np.minimum(ts + steps_offset, num_train - 1)
     return ts.astype(np.int32)
 
 
@@ -370,18 +376,25 @@ class DDIMScheduler:
     """
 
     def __init__(self, num_steps: int, prediction_type: str = 'v',
-                 spacing: str = 'trailing'):
+                 spacing: str = 'trailing', steps_offset: int = 0,
+                 set_alpha_to_one: bool = True):
         self.acp = make_alphas_cumprod()
-        self.timesteps = spaced_timesteps(num_steps, spacing=spacing)
+        self.timesteps = spaced_timesteps(num_steps, spacing=spacing,
+                                          steps_offset=steps_offset)
         self.prediction_type = prediction_type
         self.num_steps = num_steps
+        # SD1.x checkpoints ship set_alpha_to_one=False: the final
+        # step jumps to alpha_cumprod[0] rather than exactly 1.0
+        self.final_alpha = 1.0 if set_alpha_to_one \
+            else float(self.acp[0])
 
     def step(self, model_out, i: int, sample):
         t = int(self.timesteps[i])
         a_t = float(self.acp[t])
         t_prev = int(self.timesteps[i + 1]) if i + 1 < self.num_steps \
             else -1
-        a_prev = float(self.acp[t_prev]) if t_prev >= 0 else 1.0
+        a_prev = float(self.acp[t_prev]) if t_prev >= 0 \
+            else self.final_alpha
         sq_at, sq_1mat = math.sqrt(a_t), math.sqrt(1.0 - a_t)
         if self.prediction_type == 'v':
             x0 = sq_at * sample - sq_1mat * model_out

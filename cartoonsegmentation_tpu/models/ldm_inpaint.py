@@ -208,8 +208,11 @@ class LDMInpainter:
         return self.variables
 
     def _infer_fn(self, lh: int, lw: int):
+        # the runwayml SD1.5-inpainting scheduler config: leading
+        # spacing with steps_offset=1 and set_alpha_to_one=False
         sch = DDIMScheduler(self.steps, prediction_type='epsilon',
-                            spacing='leading')
+                            spacing='leading', steps_offset=1,
+                            set_alpha_to_one=False)
         guidance = self.guidance
 
         @jax.jit

@@ -391,7 +391,15 @@ def empty_text_embed_from_clip(text_sd: Dict,
     model = CLIPTextModel(cfg)
     sd = {k[len('text_model.'):] if k.startswith('text_model.') else k:
           torch.as_tensor(np.asarray(v)) for k, v in text_sd.items()}
-    model.text_model.load_state_dict(sd, strict=False)
+    res = model.text_model.load_state_dict(sd, strict=False)
+    n_own = len(model.text_model.state_dict())
+    n_loaded = n_own - len(res.missing_keys)
+    if n_loaded < 0.9 * n_own:
+        raise ValueError(
+            f'CLIP text state dict matched only {n_loaded}/{n_own} '
+            'tensors — wrong key schema; the empty-prompt embedding '
+            'would come from random init. Unexpected: '
+            f'{res.unexpected_keys[:3]}')
     model.eval()
     ids = torch.tensor([list(EMPTY_PROMPT_IDS)])
     with torch.no_grad():

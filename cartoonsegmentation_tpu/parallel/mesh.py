@@ -39,7 +39,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with batch-axis sharding."""
+    """Place a pytree of host arrays with batch-axis sharding.
+
+    Rank-0 leaves (per-batch scalars such as the NK loader's
+    'domain' label) have no batch axis to shard — they are placed
+    replicated instead; device_put of a rank-0 array with a rank-1
+    spec raises.
+    """
     sh = batch_sharding(mesh)
+    rep = replicated(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh), batch)
+        lambda x: jax.device_put(x, sh if np.ndim(x) else rep), batch)

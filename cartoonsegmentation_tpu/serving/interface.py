@@ -36,6 +36,11 @@ class KenBurnsService:
         self.obj_to: Optional[Dict] = None
         self.frame_cache: Dict[float, bytes] = {}
         self.lock = threading.Lock()
+        # MJPEG playback state (naive_interface.py:27-34,131-173)
+        self.times = np.linspace(0.0, 1.0,
+                                 pipeline.cfg.num_frame).tolist()
+        self.int_time = 0
+        self.mode = 'automatic'
 
     def load_image(self, img_bytes: bytes) -> Dict:
         import cv2
@@ -47,6 +52,9 @@ class KenBurnsService:
             self.state = self.pipe.generate_state(img)
             self.obj_from, self.obj_to = self.pipe.autozoom(self.state)
             self.frame_cache.clear()
+            self.times = np.linspace(
+                0.0, 1.0, self.pipe.cfg.num_frame).tolist()
+            self.int_time = 0
             H, W = self.state.hw
         return {'height': int(H), 'width': int(W),
                 'objFrom': self.obj_from, 'objTo': self.obj_to}
@@ -66,17 +74,28 @@ class KenBurnsService:
         kw = {k: payload[k] for k in self.CONFIG_KEYS if k in payload}
         if not kw:
             return {'ok': True, 'changed': []}
+        marigold_changed = any(k.startswith('marigold_') for k in kw)
         with self.lock:
             old = self.pipe
             new = KenBurnsPipeline(old.cfg.replace(**kw))
-            # carry loaded weights + heavyweight sub-models across
-            for attr in ('_disparity_vars', '_inpaint_vars',
-                         '_refine_vars', '_leres_vars', '_p2p_vars',
-                         '_zoe_net', '_zoe_vars', '_zoe_ckpt_path',
-                         '_zoe_ckpt_is_nk', '_marigold', '_ldm_native',
-                         '_detector'):
+            # carry loaded weights + heavyweight sub-models across;
+            # _marigold bakes its sampler knobs at construction, so
+            # when a marigold_* key changes it must be REBUILT from
+            # the new cfg with the old weights transferred — carrying
+            # the object would silently keep the old steps/scheduler
+            carry = ['_disparity_vars', '_inpaint_vars',
+                     '_refine_vars', '_leres_vars', '_p2p_vars',
+                     '_zoe_net', '_zoe_vars', '_zoe_ckpt_path',
+                     '_zoe_ckpt_is_nk', '_ldm_native', '_detector']
+            if not marigold_changed:
+                carry.append('_marigold')
+            for attr in carry:
                 if getattr(old, attr, None) is not None:
                     setattr(new, attr, getattr(old, attr))
+            if marigold_changed \
+                    and getattr(old, '_marigold', None) is not None:
+                new._ensure_marigold().variables = \
+                    old._marigold.variables
             self.pipe = new
             self.state = None
             self.obj_from = self.obj_to = None
@@ -91,9 +110,48 @@ class KenBurnsService:
                     tgt[k] = box[k]
             if which == 'from':
                 self.obj_from = tgt
+                self.int_time = 0           # jump stream to t=0.0
             else:
                 self.obj_to = tgt
+                self.int_time = len(self.times) - 1   # ... to t=1.0
             self.frame_cache.clear()
+
+    def set_mode(self, mode: str) -> None:
+        """Playback mode: 'automatic' advances t each streamed frame,
+        'manual' holds the current frame (naive_interface.py:100-105)."""
+        if mode not in ('automatic', 'manual'):
+            raise ValueError(f'unknown mode {mode!r}')
+        with self.lock:
+            self.mode = mode
+
+    def mjpeg_parts(self):
+        """Infinite multipart/x-mixed-replace frame generator at the
+        output fps, reusing the per-t JPEG cache; gray placeholder
+        before an image is loaded (naive_interface.py:131-173)."""
+        import time
+
+        import cv2
+        header = b'--frame\r\nContent-Type: image/jpeg\r\n\r\n'
+        limiter = 0.0
+        while True:
+            time.sleep(max(0.0, (1.0 / 25.0) - (time.time() - limiter)))
+            limiter = time.time()
+            with self.lock:
+                if self.state is None:
+                    t = None
+                else:
+                    if self.int_time > len(self.times) - 1:
+                        self.int_time = 0
+                    t = float(self.times[self.int_time])
+                    if self.mode == 'automatic':
+                        self.int_time += 1
+            if t is None:
+                blank = np.full((768, 1024, 3), 29, np.uint8)
+                _, enc = cv2.imencode('.jpg', blank,
+                                      [cv2.IMWRITE_JPEG_QUALITY, 80])
+                yield header + enc.tobytes() + b'\r\n'
+                continue
+            yield header + self.live_frame(t) + b'\r\n'
 
     def live_frame(self, t: float) -> bytes:
         """One JPEG frame at interpolation time t (no inpaint)."""
@@ -107,7 +165,8 @@ class KenBurnsService:
             frames = self.pipe.render_frames(
                 self.state, self.obj_from, self.obj_to,
                 np.asarray([key], np.float32), depth_field=False)
-            ok, enc = cv2.imencode('.jpg', frames[0])
+            ok, enc = cv2.imencode('.jpg', frames[0],
+                                   [cv2.IMWRITE_JPEG_QUALITY, 80])
             data = enc.tobytes()
             self.frame_cache[key] = data
             return data
@@ -244,6 +303,11 @@ def make_handler(service: KenBurnsService):
                     self._json({'ok': True})
                 elif path == '/style':
                     self._json(service.style(json.loads(body or b'{}')))
+                elif path == '/update_mode':
+                    service.set_mode(
+                        json.loads(body or b'{}').get('mode',
+                                                      'automatic'))
+                    self._json({'ok': True})
                 elif path == '/config':
                     self._json(service.set_config(
                         json.loads(body or b'{}')))
@@ -262,8 +326,24 @@ def make_handler(service: KenBurnsService):
                     self._send(200, PAGE_HTML.encode(),
                                'text/html; charset=utf-8')
                 elif parsed.path == '/get_live':
-                    t = float(q.get('fltTime', ['0'])[0])
-                    self._send(200, service.live_frame(t), 'image/jpeg')
+                    if 'fltTime' in q:      # single-frame variant
+                        t = float(q['fltTime'][0])
+                        self._send(200, service.live_frame(t),
+                                   'image/jpeg')
+                    else:                   # reference MJPEG stream
+                        self.send_response(200)
+                        self.send_header(
+                            'Content-Type',
+                            'multipart/x-mixed-replace; '
+                            'boundary=frame')
+                        self.end_headers()
+                        try:
+                            for part in service.mjpeg_parts():
+                                self.wfile.write(part)
+                                self.wfile.flush()
+                        except (BrokenPipeError,
+                                ConnectionResetError):
+                            pass            # client went away
                 elif parsed.path == '/get_result':
                     self._send(200, service.result_video(), 'video/mp4')
                 elif parsed.path == '/health':

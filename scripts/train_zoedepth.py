@@ -87,11 +87,17 @@ def main():
 
     tiny_kw = {}
     if args.tiny:
-        tiny_kw = dict(n_bins=16, bin_embedding_dim=32,
+        tiny_kw = dict(bin_embedding_dim=32,
                        core_features=32,
                        core_out_channels=(32, 64, 96, 96),
                        core_dim=64, core_depth=8, core_heads=4,
                        core_hooks=(1, 3, 5, 7), btlnck_features=48)
+        if args.variant == 'nk':
+            # NK sizes its per-domain heads via bin_conf, not n_bins
+            tiny_kw['bin_conf'] = (('nyu', 16, 1e-3, 10.0),
+                                   ('kitti', 16, 1e-3, 80.0))
+        else:
+            tiny_kw['n_bins'] = 16
     cls = ZoeDepthNK if args.variant == 'nk' else ZoeDepth
     # the model consumes images at img_size and predicts at half res;
     # the train step upsamples predictions to the label grid

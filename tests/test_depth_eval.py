@@ -106,6 +106,15 @@ def test_hypersim(tmp_path, rng):
     _, dep, _ = src.load(0)
     assert abs(dep[20, 24, 0] - depth[20, 24]) < 1e-5
 
+    # the real dataset ships .depth_meters.hdf5 (hypersim.py:105);
+    # when present it takes precedence over the .npy fallback
+    import h5py
+    with h5py.File(gd / 'frame.0000.depth_meters.hdf5', 'w') as f:
+        f.create_dataset('dataset', data=dist * 2.0)
+    src = HypersimSource(str(root))
+    _, dep2, _ = src.load(0)
+    assert abs(dep2[20, 24, 0] - 2.0 * depth[20, 24]) < 1e-5
+
 
 def test_vkitti2_and_kb_crop(tmp_path, rng):
     root = tmp_path / 'vk2'

@@ -96,6 +96,35 @@ def test_ddim_step_reconstructs_exactly(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_ddim_sd1x_config(rng):
+    """The SD1.x scheduler configuration (leading spacing with
+    steps_offset=1, set_alpha_to_one=False): every timestep is
+    shifted up by one vs plain leading, and the FINAL step jumps to
+    alpha_cumprod[0] instead of exactly 1.0 — matching the diffusers
+    DDIMScheduler the runwayml inpainting checkpoint ships."""
+    from cartoonsegmentation_tpu.models.ldm import spaced_timesteps
+    plain = spaced_timesteps(10, spacing='leading')
+    off = spaced_timesteps(10, spacing='leading', steps_offset=1)
+    np.testing.assert_array_equal(off, plain + 1)
+
+    acp = make_alphas_cumprod()
+    sch = DDIMScheduler(10, prediction_type='epsilon',
+                        spacing='leading', steps_offset=1,
+                        set_alpha_to_one=False)
+    x0 = rng.randn(4, 4).astype(np.float32)
+    eps = rng.randn(4, 4).astype(np.float32)
+    i = sch.num_steps - 1                       # final step
+    t = int(sch.timesteps[i])
+    a = float(acp[t])
+    sample = np.sqrt(a) * x0 + np.sqrt(1 - a) * eps
+    got = sch.step(jnp.asarray(eps), i, jnp.asarray(sample))
+    ap = float(acp[0])                          # NOT 1.0
+    want = np.sqrt(ap) * x0 + np.sqrt(1 - ap) * eps
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                               atol=1e-5)
+    assert abs(sch.final_alpha - ap) < 1e-12 and ap != 1.0
+
+
 def test_lcm_final_step_is_denoised(rng):
     """The last LCM step returns the boundary-condition denoised
     estimate c_skip*x + c_out*x0 with no re-noising."""

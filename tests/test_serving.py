@@ -159,6 +159,84 @@ def test_style_route(rng, tmp_path):
         sd.shutdown()
 
 
+def test_mjpeg_live_stream(rng):
+    """GET /get_live without fltTime is the reference's
+    multipart/x-mixed-replace MJPEG stream (naive_interface.py:
+    131-173): frames arrive continuously, per-t cache fills, and
+    /update_mode switches automatic/manual playback."""
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         point_capacity_factor=1.2, playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    srv = serve(pipe, '127.0.0.1', 0, block=False)
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        requests.post(f'{base}/load_image', data=enc.tobytes())
+
+        r = requests.post(f'{base}/update_mode',
+                          data=json.dumps({'mode': 'manual'}))
+        assert r.json() == {'ok': True}
+
+        r = requests.get(f'{base}/get_live', stream=True, timeout=120)
+        assert 'multipart/x-mixed-replace' in r.headers['Content-Type']
+        buf = b''
+        for chunk in r.iter_content(4096):
+            buf += chunk
+            if buf.count(b'--frame') >= 3:
+                break
+        r.close()
+        parts = [p for p in buf.split(b'--frame') if p.strip()]
+        assert len(parts) >= 2
+        head, _, jpeg = parts[0].partition(b'\r\n\r\n')
+        assert b'image/jpeg' in head
+        frame = cv2.imdecode(
+            np.frombuffer(jpeg.rstrip(b'\r\n'), np.uint8),
+            cv2.IMREAD_COLOR)
+        assert frame is not None and frame.shape == (40, 48, 3)
+        # manual mode holds t=0 → the per-t cache has one entry
+        assert len(srv.service.frame_cache) == 1
+
+        # bad mode → clean error
+        r = requests.post(f'{base}/update_mode',
+                          data=json.dumps({'mode': 'warp'}))
+        assert r.status_code == 500
+
+        # box update snaps the stream index and clears the cache
+        requests.post(f'{base}/update_to',
+                      data=json.dumps({'center_u': 30.0}))
+        assert srv.service.int_time == 2
+        assert len(srv.service.frame_cache) == 0
+    finally:
+        srv.shutdown()
+
+
+def test_config_marigold_rebuild():
+    """Changing a marigold_* knob through set_config must rebuild the
+    estimator from the new cfg while transferring loaded weights
+    (advisor round-2 medium finding: the old object carried its baked
+    sampler knobs across the rebuild)."""
+    from cartoonsegmentation_tpu.serving.interface import \
+        KenBurnsService
+
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    svc = KenBurnsService(pipe)
+    m = pipe._ensure_marigold()
+    m.variables = {'sentinel': np.zeros(1)}
+    out = svc.set_config({'marigold_steps': 7})
+    assert 'marigold_steps' in out['changed']
+    m2 = svc.pipe._marigold
+    assert m2 is not m
+    assert m2.denoise_steps == 7
+    assert m2.variables is m.variables      # weights carried over
+
+    # non-marigold knob keeps the object untouched
+    svc.set_config({'num_frame': 2})
+    assert svc.pipe._marigold is m2
+
+
 def test_config_route_switches_pipeline(rng):
     """POST /config rebuilds the pipeline with new knobs, keeps
     loaded weights, and drops the cached image state."""
