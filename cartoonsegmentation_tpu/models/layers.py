@@ -53,8 +53,12 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def resize_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Torch-twin bilinear resize: antialias=False matches
+    F.interpolate(bilinear, align_corners=False) on minification too
+    (the reference nets downscale with plain bilinear taps)."""
     B = x.shape[:-3]
-    return jax.image.resize(x, B + (h, w, x.shape[-1]), method='linear')
+    return jax.image.resize(x, B + (h, w, x.shape[-1]), method='linear',
+                            antialias=False)
 
 
 class Basic(nn.Module):

@@ -200,6 +200,10 @@ class KenBurnsPipeline:
                                                        disparity_raw)
             elif cfg.refine_crf:
                 from .crf_refine import refine_depth_crf
+                if disparity_raw.shape[:2] != (H, W):
+                    disparity_raw = jax.image.resize(
+                        disparity_raw, (H, W, 1), method='linear',
+                        antialias=False)
                 ins_mask = np.asarray(
                     jax.device_get(instances.compose_masks()))
                 refined = refine_depth_crf(
@@ -207,6 +211,14 @@ class KenBurnsPipeline:
                     np.asarray(jax.device_get(disparity_raw[..., 0])),
                     ins_mask if ins_mask.any() else None)
                 disparity_raw = jnp.asarray(refined)[..., None]
+            # the 'default' estimator's half-of-512 grid must reach
+            # _prepare_state at image res; Refine already emits image
+            # res, but with refinement disabled resize here (the
+            # reference has no working no-refine path for this grid)
+            if disparity_raw.shape[:2] != (H, W):
+                disparity_raw = jax.image.resize(
+                    disparity_raw, (H, W, 1), method='linear',
+                    antialias=False)
             self._stage_depth('depth_final', disparity_raw)
         if self._detector is not None:
             self.stages['instances'] = instances.draw(img)
@@ -230,31 +242,50 @@ class KenBurnsPipeline:
             cv2.imwrite(f'{save_dir}/tmp_stage_{stage}_{name}.png', img)
 
     def _adjust_disparity(self, image, disparity, instances):
+        """Instance depth adjustment at IMAGE resolution, returned at
+        the disparity's own grid — the reference upsamples a
+        coarser-grid disparity to the image, adjusts against the
+        masks there, and downsamples back (kenburns_effect.py:49-92,
+        the resized=True branch). The 'default' estimator hands a
+        half-of-512 grid through here; all others are already at
+        image resolution and skip both resizes."""
         H, W = image.shape[:2]
-        key = ('adjust', H, W, self.cfg.depthest_use_medium)
+        dh, dw = disparity.shape[:2]
+        key = ('adjust', H, W, dh, dw, self.cfg.depthest_use_medium)
         if key not in self._jit_cache:
             use_med = self.cfg.depthest_use_medium
 
             @jax.jit
             def fn(disparity, instances):
-                return adjust_disparity_by_instances(
-                    disparity[..., 0], instances, use_med)[..., None]
+                d = disparity
+                if (dh, dw) != (H, W):
+                    d = jax.image.resize(d, (H, W, 1), method='linear',
+                                         antialias=False)
+                adj = adjust_disparity_by_instances(
+                    d[..., 0], instances, use_med)[..., None]
+                if (dh, dw) != (H, W):
+                    adj = jax.image.resize(adj, (dh, dw, 1),
+                                           method='linear',
+                                           antialias=False)
+                return adj
             self._jit_cache[key] = fn
         return self._jit_cache[key](disparity, instances)
 
     def _refine_disparity(self, image, disparity):
-        """Refine net at image res with half-res disparity input
-        (models/__init__.py:13-14 usage)."""
+        """Refine net: image at full res, disparity at its native
+        grid — the reference's disparity_refinement passes the
+        estimation grid straight through (models/__init__.py:13-14);
+        Refine aligns it to the image pyramid internally
+        (disparity_refinement.py:113-119). Output is at image res."""
         H, W = image.shape[:2]
-        key = ('refine', H, W)
+        dh, dw = disparity.shape[:2]
+        key = ('refine', H, W, dh, dw)
         if key not in self._jit_cache:
             net = self._refine_net
 
             @jax.jit
             def fn(variables, img, disp):
-                half = jax.image.resize(
-                    disp, (H // 2, W // 2, 1), method='linear')
-                return net.apply(variables, img[None], half[None])[0]
+                return net.apply(variables, img[None], disp[None])[0]
             self._jit_cache[key] = fn
         return self._jit_cache[key](self._vars('refine'), image,
                                     disparity)
@@ -417,7 +448,7 @@ class KenBurnsPipeline:
             @jax.jit
             def fn(variables, img):
                 rgb = jax.image.resize(img[..., ::-1], (zh, zw, 3),
-                                       method='linear')
+                                       method='linear', antialias=False)
                 depth = infer_zoe(net, variables, rgb[None])[0]
                 depth = jnp.maximum(depth, 1e-5)
                 disp = (focal * baseline) / (depth + 1e-5)
@@ -456,6 +487,10 @@ class KenBurnsPipeline:
         self._zoe_vars = conv(sd, self._zoe_net.img_size)
 
     def _est_default(self, image: jnp.ndarray) -> jnp.ndarray:
+        """3D-Ken-Burns disparity net at its native half-of-512 grid —
+        the reference's disparity_estimation has no resize-back
+        (models/__init__.py:31-51); the coarse grid flows through
+        adjustment and into Refine as-is."""
         H, W = image.shape[:2]
         key = ('disp', H, W)
         if key not in self._jit_cache:
@@ -463,8 +498,7 @@ class KenBurnsPipeline:
 
             @jax.jit
             def fn(variables, img):
-                d = net.apply(variables, img[None])[0]
-                return jax.image.resize(d, (H, W, 1), method='linear')
+                return net.apply(variables, img[None])[0]
             self._jit_cache[key] = fn
         return self._jit_cache[key](self._vars('disparity'), image)
 
@@ -731,94 +765,8 @@ class KenBurnsPipeline:
                max_ch, bool(depth_field), cfg.discfill_max_steps,
                cfg.discfill_mode, cfg.render_payload_dtype, mesh)
         if key not in self._jit_cache:
-            focal, baseline = cfg.focal, cfg.baseline
-            dcfg = (cfg.dof_num_samples, cfg.lightness_factor,
-                    cfg.depth_factor, cfg.dof_speed)
-            max_steps = cfg.discfill_max_steps
-            if cfg.discfill_mode == 'fast':
-                fill = lambda im, d: fill_disocclusion_fast3(im, d)
-            else:
-                fill = lambda im, d: fill_disocclusion(
-                    im, d, max_steps=max_steps)
-
-            def render_one(state, cam, focal_planes):
-                shift_u, shift_v, depth_scale, t = (cam[0], cam[1],
-                                                    cam[2], cam[3])
-                dr = state.depth_range
-                shift = compute_shift(dr, shift_u, shift_v, dr.min_val,
-                                      dr.min_val * depth_scale, W, H,
-                                      focal)
-                pts = shift_points(state.cloud.points, shift)
-                data = jnp.concatenate(
-                    [state.cloud.colors, state.cloud.depth[:, None]], 1)
-                render, existing = render_pointcloud(
-                    pts, data, H, W, focal, baseline,
-                    payload_dtype=cfg.render_payload_dtype)
-                filled = fill(
-                    render, render[..., 3] * (existing[..., 0] > 0))
-                frame = filled[..., :3]
-                if depth_field:
-                    ns, lf, dfac, dof_speed = dcfg
-                    depth_r = colorize_gray_r(filled[..., 3])
-                    fp_start, fp_end = focal_planes
-                    focal_int = 1.0 / (1.0 + jnp.exp(
-                        (0.5 - t) * dof_speed))
-                    fp = focal_int * fp_end + (1 - focal_int) * fp_start
-                    frame = bokeh_blur(jnp.clip(frame, 0.0, 1.0),
-                                       depth_r, ns, lf, dfac,
-                                       focal_plane=fp)
-                frame = jnp.clip(frame, 0.0, 1.0)
-                frame = crop_center_resize(frame, max_ch, max_cw, H, W)
-                return (jnp.clip(frame, 0.0, 1.0) * 255.0 + 0.5
-                        ).astype(jnp.uint8)
-
-            def focal_planes(state, cams):
-                # focal planes from the t=0 frame (reference computes
-                # them at frame_idx==0; kenburns_effect.py:1045-1059)
-                if depth_field:
-                    shift = compute_shift(
-                        state.depth_range, cams[0, 0], cams[0, 1],
-                        state.depth_min, state.depth_min * cams[0, 2],
-                        W, H, focal)
-                    pts = shift_points(state.cloud.points, shift)
-                    data = jnp.concatenate(
-                        [state.cloud.colors, state.cloud.depth[:, None]],
-                        1)
-                    render, existing = render_pointcloud(
-                        pts, data, H, W, focal, baseline)
-                    filled = fill(
-                        render, render[..., 3] * (existing[..., 0] > 0))
-                    depth_r = colorize_gray_r(filled[..., 3])
-                    has_ins = state.instances.count() > 0
-                    # median depth per instance; take the max
-                    def ins_median(mask, v):
-                        vals = jnp.where(mask, depth_r, jnp.inf)
-                        s = jnp.sort(vals.reshape(-1))
-                        cnt = jnp.sum(mask).astype(jnp.int32)
-                        med = s[jnp.maximum((cnt - 1) // 2, 0)]
-                        return jnp.where(v & (cnt > 0), med, -jnp.inf)
-                    meds = jax.vmap(ins_median)(state.instances.masks,
-                                                state.instances.valid)
-                    fp_end = jnp.where(has_ins, jnp.max(meds), 255.0)
-                    fp_start = jnp.where(
-                        has_ins,
-                        jnp.where(jnp.abs(255.0 - fp_end)
-                                  > jnp.abs(fp_end), 255.0, 0.0),
-                        0.0)
-                else:
-                    fp_start = jnp.float32(0.0)
-                    fp_end = jnp.float32(255.0)
-                return fp_start, fp_end
-
-            def scan_frames(state, cams, fp_start, fp_end):
-                # NOTE: the state is closed over (a scan *constant*),
-                # not carried — carrying the ~40MB pytree made XLA
-                # copy it every iteration (~200ms/frame at 1024).
-                def step(carry, cam):
-                    return carry, render_one(state, cam,
-                                             (fp_start, fp_end))
-                _, frames = jax.lax.scan(step, 0, cams)
-                return frames
+            focal_planes, scan_frames = self._render_builders(
+                max_cw, max_ch, bool(depth_field), H, W)
 
             if mesh is None:
                 @jax.jit
@@ -854,6 +802,203 @@ class KenBurnsPipeline:
         if return_device:
             return frames
         return np.asarray(jax.device_get(frames))
+
+    def _render_builders(self, max_cw, max_ch, depth_field, H, W):
+        """The per-frame render program pieces shared by
+        render_frames (single scan / shard_map) and
+        render_frames_stream (chunked): ``focal_planes(state, cams)``
+        and ``scan_frames(state, cams, fp_start, fp_end)``."""
+        cfg = self.cfg
+        focal, baseline = cfg.focal, cfg.baseline
+        dcfg = (cfg.dof_num_samples, cfg.lightness_factor,
+                cfg.depth_factor, cfg.dof_speed)
+        max_steps = cfg.discfill_max_steps
+        if cfg.discfill_mode == 'fast':
+            fill = lambda im, d: fill_disocclusion_fast3(im, d)
+        else:
+            fill = lambda im, d: fill_disocclusion(
+                im, d, max_steps=max_steps)
+
+        def render_one(state, cam, focal_planes):
+            shift_u, shift_v, depth_scale, t = (cam[0], cam[1],
+                                                cam[2], cam[3])
+            dr = state.depth_range
+            shift = compute_shift(dr, shift_u, shift_v, dr.min_val,
+                                  dr.min_val * depth_scale, W, H,
+                                  focal)
+            pts = shift_points(state.cloud.points, shift)
+            data = jnp.concatenate(
+                [state.cloud.colors, state.cloud.depth[:, None]], 1)
+            render, existing = render_pointcloud(
+                pts, data, H, W, focal, baseline,
+                payload_dtype=cfg.render_payload_dtype)
+            filled = fill(
+                render, render[..., 3] * (existing[..., 0] > 0))
+            frame = filled[..., :3]
+            if depth_field:
+                ns, lf, dfac, dof_speed = dcfg
+                depth_r = colorize_gray_r(filled[..., 3])
+                fp_start, fp_end = focal_planes
+                focal_int = 1.0 / (1.0 + jnp.exp(
+                    (0.5 - t) * dof_speed))
+                fp = focal_int * fp_end + (1 - focal_int) * fp_start
+                frame = bokeh_blur(jnp.clip(frame, 0.0, 1.0),
+                                   depth_r, ns, lf, dfac,
+                                   focal_plane=fp)
+            frame = jnp.clip(frame, 0.0, 1.0)
+            frame = crop_center_resize(frame, max_ch, max_cw, H, W)
+            return (jnp.clip(frame, 0.0, 1.0) * 255.0 + 0.5
+                    ).astype(jnp.uint8)
+
+        def focal_planes(state, cams):
+            # focal planes from the t=0 frame (reference computes
+            # them at frame_idx==0; kenburns_effect.py:1045-1059)
+            if depth_field:
+                shift = compute_shift(
+                    state.depth_range, cams[0, 0], cams[0, 1],
+                    state.depth_min, state.depth_min * cams[0, 2],
+                    W, H, focal)
+                pts = shift_points(state.cloud.points, shift)
+                data = jnp.concatenate(
+                    [state.cloud.colors, state.cloud.depth[:, None]],
+                    1)
+                render, existing = render_pointcloud(
+                    pts, data, H, W, focal, baseline)
+                filled = fill(
+                    render, render[..., 3] * (existing[..., 0] > 0))
+                depth_r = colorize_gray_r(filled[..., 3])
+                has_ins = state.instances.count() > 0
+                # median depth per instance; take the max
+                def ins_median(mask, v):
+                    vals = jnp.where(mask, depth_r, jnp.inf)
+                    s = jnp.sort(vals.reshape(-1))
+                    cnt = jnp.sum(mask).astype(jnp.int32)
+                    med = s[jnp.maximum((cnt - 1) // 2, 0)]
+                    return jnp.where(v & (cnt > 0), med, -jnp.inf)
+                meds = jax.vmap(ins_median)(state.instances.masks,
+                                            state.instances.valid)
+                fp_end = jnp.where(has_ins, jnp.max(meds), 255.0)
+                fp_start = jnp.where(
+                    has_ins,
+                    jnp.where(jnp.abs(255.0 - fp_end)
+                              > jnp.abs(fp_end), 255.0, 0.0),
+                    0.0)
+            else:
+                fp_start = jnp.float32(0.0)
+                fp_end = jnp.float32(255.0)
+            return fp_start, fp_end
+
+        def scan_frames(state, cams, fp_start, fp_end):
+            # NOTE: the state is closed over (a scan *constant*),
+            # not carried — carrying the ~40MB pytree made XLA
+            # copy it every iteration (~200ms/frame at 1024).
+            def step(carry, cam):
+                return carry, render_one(state, cam,
+                                         (fp_start, fp_end))
+            _, frames = jax.lax.scan(step, 0, cams)
+            return frames
+
+        return focal_planes, scan_frames
+
+    def render_frames_stream(self, state: KenBurnsState, obj_from: Dict,
+                             obj_to: Dict, steps: np.ndarray,
+                             video_path: str,
+                             depth_field: Optional[bool] = None,
+                             chunk: int = 16, fps: int = 25,
+                             yuv420: bool = True) -> np.ndarray:
+        """Chunked render with device→host transfer and mp4 encode
+        OVERLAPPED with the rendering of the next chunk.
+
+        `render_frames` scans all T frames in one program, so the
+        (tunnel-bound) transfer can only start after the whole clip is
+        rendered — at 1024 the transfer takes ~2x the render time
+        (BENCH_r02). Here the camera path is cut into fixed-size
+        chunks compiled once (one scan of length `chunk`); as soon as
+        chunk k's scan is dispatched its I420 copy starts
+        (copy_to_host_async) while chunk k+1 renders — the link and
+        the chip work concurrently. Focal planes still come from the
+        GLOBAL first frame (kenburns_effect.py:1045-1059), computed
+        once before the chunk loop. Returns all frames on host (BGR)."""
+        import cv2
+        cfg = self.cfg
+        if depth_field is None:
+            depth_field = cfg.depth_field
+        H, W = state.hw
+        T = len(steps)
+        max_cw = max(obj_from['crop_w'], obj_to['crop_w'])
+        max_ch = max(obj_from['crop_h'], obj_to['crop_h'])
+        cams = np.stack([
+            np.asarray(self._camera_params(float(t), obj_from, obj_to,
+                                           state)[:3], np.float32)
+            for t in steps])
+        cams_t = np.concatenate(
+            [cams, np.asarray(steps, np.float32)[:, None]], 1)
+
+        fns = self._stream_fns(state, max_cw, max_ch, bool(depth_field),
+                               chunk)
+        fp_fn, chunk_fn = fns
+        fp_start, fp_end = fp_fn(state, jnp.asarray(cams_t[:1]))
+
+        use_i420 = yuv420 and H % 4 == 0 and W % 2 == 0
+        if use_i420:
+            from ..utils.image import bgr_to_i420, i420_to_bgr_host
+        n_chunks = -(-T // chunk)
+        dev_chunks = []
+        for ci in range(n_chunks):
+            sl = cams_t[ci * chunk:(ci + 1) * chunk]
+            if len(sl) < chunk:
+                sl = np.concatenate(
+                    [sl, np.repeat(sl[-1:], chunk - len(sl), 0)], 0)
+            frames_c = chunk_fn(state, jnp.asarray(sl), fp_start, fp_end)
+            if use_i420:
+                frames_c = bgr_to_i420(frames_c)
+            try:
+                frames_c.copy_to_host_async()
+            except Exception:
+                pass
+            dev_chunks.append(frames_c)
+
+        vw = cv2.VideoWriter(video_path,
+                             cv2.VideoWriter_fourcc(*'mp4v'), fps,
+                             (W, H))
+        host = []
+        for ci, c in enumerate(dev_chunks):
+            arr = np.asarray(c)
+            if use_i420:
+                arr = i420_to_bgr_host(arr)
+            if ci == n_chunks - 1:
+                arr = arr[:T - ci * chunk]
+            host.append(arr)
+            for f in arr:
+                vw.write(f)
+        frames = np.concatenate(host) if host else \
+            np.zeros((0, H, W, 3), np.uint8)
+        if cfg.playback:
+            for f in list(frames)[::-1][1:-1]:
+                vw.write(f)
+        vw.release()
+        return frames
+
+    def _stream_fns(self, state, max_cw, max_ch, depth_field,
+                    chunk):
+        """Compiled (focal_planes, chunk_scan) pair for the streaming
+        renderer — the chunk scan takes the focal planes as inputs so
+        one compilation serves every chunk."""
+        cfg = self.cfg
+        H, W = state.hw
+        key = ('stream', H, W, state.cloud.capacity, chunk, max_cw,
+               max_ch, depth_field, cfg.discfill_max_steps,
+               cfg.discfill_mode, cfg.render_payload_dtype)
+        if key not in self._jit_cache:
+            # reuse render_frames' builders by compiling a T=chunk
+            # variant: build the same closures with the right statics
+            builders = self._render_builders(max_cw, max_ch,
+                                             depth_field, H, W)
+            focal_planes, scan_frames = builders
+            fp_fn = jax.jit(focal_planes)
+            chunk_fn = jax.jit(scan_frames)
+            self._jit_cache[key] = (fp_fn, chunk_fn)
+        return self._jit_cache[key]
 
     # -- orchestration -----------------------------------------------------
     def process_kenburns(self, state: KenBurnsState, obj_from: Dict,
@@ -901,11 +1046,20 @@ class KenBurnsPipeline:
         state = self.generate_state(img)
         obj_from, obj_to = self.autozoom(state)
         if video_path:
-            frames_dev = self.process_kenburns(state, obj_from, obj_to,
-                                               return_device=True)
-            with self.timer.time('host_transfer+encode'):
-                frames = stream_video(frames_dev, video_path,
-                                      playback=self.cfg.playback)
+            # inpaint+compact as in process_kenburns, then the
+            # streaming renderer: chunk k's device→host I420 copy and
+            # mp4 encode overlap chunk k+1's render
+            with self.timer.time('inpaint_passes'):
+                for t in (0.0, 1.0):
+                    su, sv, ds, _, _ = self._camera_params(
+                        t, obj_from, obj_to, state)
+                    state = self.inpaint_pass(state, su, sv, ds)
+                jax.block_until_ready(state.cloud.points)
+            state = self.compact_state(state)
+            steps = np.linspace(0.0, 1.0, self.cfg.num_frame)
+            with self.timer.time('render_stream+encode'):
+                frames = self.render_frames_stream(
+                    state, obj_from, obj_to, steps, video_path)
             return frames
         return self.process_kenburns(state, obj_from, obj_to)
 

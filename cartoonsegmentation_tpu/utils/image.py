@@ -115,11 +115,14 @@ def pad2divisor(img: np.ndarray, divisor: int, value=0):
 def resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear resize of (..., H, W, C) to (..., h, w, C) on device.
 
-    `jax.image.resize` with 'linear' matches torch's
-    interpolate(align_corners=False) convention.
+    antialias=False makes this the exact twin of torch's
+    interpolate(mode='bilinear', align_corners=False): both sample a
+    plain 2-tap triangle at half-pixel centers. jax's default
+    (antialias=True) widens the kernel on MINIFICATION, which torch
+    never does — caught by tests/test_composed_pipeline.py.
     """
     shape = x.shape[:-3] + (h, w, x.shape[-1])
-    return jax.image.resize(x, shape, method='linear')
+    return jax.image.resize(x, shape, method='linear', antialias=False)
 
 
 def resize_bilinear_ac(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -149,23 +152,37 @@ def crop_center_resize(frame: jnp.ndarray, crop_h: int, crop_w: int,
     keeps the frame loop on the TPU.
     """
     H, W = frame.shape[-3], frame.shape[-2]
-    # getRectSubPix at center (W/2, H/2): src x of dst pixel j is
-    # j + (W - crop_w)/2 (bilinear at half-pixel offsets when parity
-    # differs). scale_and_translate expresses crop+resize in one op.
-    scale_y = out_h / crop_h
-    scale_x = out_w / crop_w
-    # Source box starts at (H - crop_h)/2. translate maps src->dst:
-    # dst = scale * src + translate, so translate = -scale * start.
-    ty = -scale_y * ((H - crop_h) / 2.0)
-    tx = -scale_x * ((W - crop_w) / 2.0)
-    return jax.image.scale_and_translate(
-        frame,
-        frame.shape[:-3] + (out_h, out_w, frame.shape[-1]),
-        method='linear',
-        scale=jnp.array([scale_y, scale_x], jnp.float32),
-        translation=jnp.array([ty, tx], jnp.float32),
-        spatial_dims=(frame.ndim - 3, frame.ndim - 2),
-    )
+    # Exact twin of the reference's two cv2 calls
+    # (kenburns_effect.py:1069-1070), kept as TWO interpolations —
+    # fusing them into one sampling uses narrower effective taps and
+    # visibly diverges (caught by tests/test_composed_pipeline.py):
+    #   1. getRectSubPix(patch=(cw,ch), center=(W/2, H/2)):
+    #      patch[j] = src[x0 + j],  x0 = W/2 - (cw-1)/2.  cv2 treats
+    #      W/2 as a PIXEL-INDEX center, so the crop sits a half pixel
+    #      right/below the geometric center — reproduced, not
+    #      corrected.  jax samples in(o) = (o + 0.5 - t)/s - 0.5, so
+    #      at s=1 the translate is t = -x0.  When x0 is integral this
+    #      collapses to a slice (and one interpolation total, exactly
+    #      like cv2).
+    #   2. resize INTER_LINEAR to (out_h, out_w): plain (antialias
+    #      off) bilinear at half-pixel centers.
+    y0 = (H - crop_h + 1) / 2.0
+    x0 = (W - crop_w + 1) / 2.0
+    if y0 == int(y0) and x0 == int(x0):
+        patch = frame[..., int(y0):int(y0) + crop_h,
+                      int(x0):int(x0) + crop_w, :]
+    else:
+        patch = jax.image.scale_and_translate(
+            frame, frame.shape[:-3] + (crop_h, crop_w, frame.shape[-1]),
+            method='linear',
+            scale=jnp.array([1.0, 1.0], jnp.float32),
+            translation=jnp.array([-y0, -x0], jnp.float32),
+            spatial_dims=(frame.ndim - 3, frame.ndim - 2))
+    if (crop_h, crop_w) == (out_h, out_w):
+        return patch
+    return jax.image.resize(
+        patch, patch.shape[:-3] + (out_h, out_w, patch.shape[-1]),
+        method='linear', antialias=False)
 
 
 def to_float_chw(img: np.ndarray) -> np.ndarray:
