@@ -55,22 +55,36 @@ def _up_like(src, tar):
 
 
 class RSU(nn.Module):
-    """Residual U-block of the given height (RSU7..RSU4)."""
+    """Residual U-block of the given height (RSU7..RSU4).
+
+    ``dilated=True`` is the u2net_refactor generalization
+    (animeseg_refine/u2net.py:40-82): no pooling/upsampling, encoder
+    level i uses dilation 2^(i-1), the bottom 2^(L-1), decoder levels
+    mirror the encoder dilations. RSU4F == RSU(height=4, dilated)."""
     height: int
     mid_ch: int
     out_ch: int
+    dilated: bool = False
 
     @nn.compact
     def __call__(self, x):
         L = self.height
+
+        def rate(i):
+            return 2 ** (i - 1) if self.dilated else 1
+
         hxin = REBNConv(self.out_ch, name='rebnconvin')(x)
         enc = [REBNConv(self.mid_ch, name='rebnconv1')(hxin)]
         h = enc[0]
         for i in range(2, L):
-            h = _pool_ceil(h)
-            h = REBNConv(self.mid_ch, name=f'rebnconv{i}')(h)
+            if not self.dilated:
+                h = _pool_ceil(h)
+            h = REBNConv(self.mid_ch, dirate=rate(i),
+                         name=f'rebnconv{i}')(h)
             enc.append(h)
-        bottom = REBNConv(self.mid_ch, dirate=2, name=f'rebnconv{L}')(h)
+        bottom_rate = 2 ** (L - 1) if self.dilated else 2
+        bottom = REBNConv(self.mid_ch, dirate=bottom_rate,
+                          name=f'rebnconv{L}')(h)
 
         d = bottom
         for i in range(L - 1, 0, -1):
@@ -78,7 +92,7 @@ class RSU(nn.Module):
             if d.shape[-3:-1] != skip.shape[-3:-1]:
                 d = _up_like(d, skip)
             feats = self.out_ch if i == 1 else self.mid_ch
-            d = REBNConv(feats, name=f'rebnconv{i}d')(
+            d = REBNConv(feats, dirate=rate(i), name=f'rebnconv{i}d')(
                 jnp.concatenate([d, skip], -1))
         return d + hxin
 

@@ -1,10 +1,13 @@
-"""U²-Net (full + lite) and the ISNet GT encoder.
+"""U²-Net (the refactored full2/lite2 variants) and the ISNet GT
+encoder.
 
-Parity: reference animeinsseg/models/animeseg_refine/u2net.py:84-228
-(U2NET / U2NET_full / U2NET_lite via the same RSU blocks) and
-isnet.py:434-521 (ISNetGTEncoder used to supervise the refine net's
-intermediate features). Selectable through get_net (refine
-__init__.py:28-41) as the 'u2net' / 'u2netl' refine variants.
+Parity: reference animeinsseg/models/animeseg_refine/u2net.py:28-228.
+The refine registry's 'u2net'/'u2netl' are U2NET_full2 / U2NET_lite2
+(animeseg_refine/__init__.py:28-41): six encoder stages of heights
+(8,7,6,5,5,5) where stages 5/6/5d are *dilated* height-5 RSUs (not
+RSU4F — that is the plain full/lite config), plus side heads and a
+1x1 fuse conv. ISNetGTEncoder is isnet.py:434-521, used to supervise
+the refine net's intermediate features.
 """
 from __future__ import annotations
 
@@ -16,51 +19,48 @@ from flax import linen as nn
 
 from .isnet import RSU, RSU4F, REBNConv, _pool_ceil, _up_like
 
-# (block kind, height, mid, out) per stage — full config
-_FULL_ENC = (('rsu', 7, 32, 64), ('rsu', 6, 32, 128), ('rsu', 5, 64, 256),
-             ('rsu', 4, 128, 512), ('rsu4f', 0, 256, 512),
-             ('rsu4f', 0, 256, 512))
-_FULL_DEC = (('rsu4f', 0, 256, 512), ('rsu', 4, 128, 256),
-             ('rsu', 5, 64, 128), ('rsu', 6, 32, 64), ('rsu', 7, 16, 64))
+# (height, mid, out, dilated) per stage — u2net.py:175-192 (full2)
+_FULL2_ENC = ((8, 32, 64, False), (7, 32, 128, False),
+              (6, 64, 256, False), (5, 128, 512, False),
+              (5, 256, 512, True), (5, 256, 512, True))
+_FULL2_DEC = ((5, 256, 512, True), (5, 128, 256, False),
+              (6, 64, 128, False), (7, 32, 64, False),
+              (8, 16, 64, False))
 
-_LITE_ENC = (('rsu', 7, 16, 64), ('rsu', 6, 16, 64), ('rsu', 5, 16, 64),
-             ('rsu', 4, 16, 64), ('rsu4f', 0, 16, 64),
-             ('rsu4f', 0, 16, 64))
-_LITE_DEC = (('rsu4f', 0, 16, 64), ('rsu', 4, 16, 64), ('rsu', 5, 16, 64),
-             ('rsu', 6, 16, 64), ('rsu', 7, 16, 64))
-
-
-def _block(kind, height, mid, out, name):
-    if kind == 'rsu4f':
-        return RSU4F(mid, out, name=name)
-    return RSU(height, mid, out, name=name)
+# u2net.py:214-228 (lite2)
+_LITE2_ENC = ((8, 16, 64, False), (7, 16, 64, False),
+              (6, 16, 64, False), (5, 16, 64, False),
+              (5, 16, 64, True), (5, 16, 64, True))
+_LITE2_DEC = ((5, 16, 64, True), (5, 16, 64, False),
+              (6, 16, 64, False), (7, 16, 64, False),
+              (8, 16, 64, False))
 
 
 class U2Net(nn.Module):
-    """Returns (side logits d1..d6 + fused d0, decoder feats)."""
+    """Returns (fused d0 + side logits d1..d6, decoder feats)."""
     out_ch: int = 1
     lite: bool = False
 
     @nn.compact
     def __call__(self, x):
-        enc_cfg = _LITE_ENC if self.lite else _FULL_ENC
-        dec_cfg = _LITE_DEC if self.lite else _FULL_DEC
+        enc_cfg = _LITE2_ENC if self.lite else _FULL2_ENC
+        dec_cfg = _LITE2_DEC if self.lite else _FULL2_DEC
 
         feats = []
         h = x
-        for i, (kind, hh, mid, out) in enumerate(enc_cfg):
-            h = _block(kind, hh, mid, out, f'stage{i + 1}')(h)
+        for i, (hh, mid, out, dil) in enumerate(enc_cfg):
+            h = RSU(hh, mid, out, dilated=dil, name=f'stage{i + 1}')(h)
             feats.append(h)
             if i < len(enc_cfg) - 1:
                 h = _pool_ceil(h)
 
         d = feats[-1]
         dec_feats = [d]
-        for i, (kind, hh, mid, out) in enumerate(dec_cfg):
+        for i, (hh, mid, out, dil) in enumerate(dec_cfg):
             skip = feats[len(enc_cfg) - 2 - i]
             d = _up_like(d, skip)
-            d = _block(kind, hh, mid, out,
-                       f'stage{len(dec_cfg) - i}d')(
+            d = RSU(hh, mid, out, dilated=dil,
+                    name=f'stage{len(dec_cfg) - i}d')(
                 jnp.concatenate([d, skip], -1))
             dec_feats.insert(0, d)
 
@@ -72,6 +72,23 @@ class U2Net(nn.Module):
         fused = nn.Conv(self.out_ch, (1, 1), name='outconv')(
             jnp.concatenate(sides, -1))
         return (fused, *sides), tuple(dec_feats)
+
+
+def convert_u2net(sd) -> dict:
+    """torch U2NET (u2net_refactor schema: stage{N}[d].rebnconvX.
+    {conv_s1,bn_s1}.*, sideN, outconv) → flax variables. The inner
+    block schema is identical to ISNet's, so this shares
+    convert_isnet's mapping plus the 1x1 fuse conv."""
+    from .isnet import convert_isnet
+    out = convert_isnet({k: v for k, v in sd.items()
+                         if not k.startswith('outconv.')})
+    from .convert import _np
+    if 'outconv.weight' in sd:
+        out['params']['outconv'] = {
+            'kernel': _np(sd['outconv.weight']).transpose(2, 3, 1, 0),
+            'bias': _np(sd['outconv.bias']),
+        }
+    return out
 
 
 class ISNetGTEncoder(nn.Module):

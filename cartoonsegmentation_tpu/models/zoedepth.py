@@ -17,6 +17,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..utils.image import resize_bilinear_ac
@@ -86,7 +87,14 @@ class AttractorLayerUnnormed(nn.Module):
         dist = inv_attractor if self.attractor_type == 'inv' \
             else exp_attractor
         dx = A[..., :, None] - b_prev[..., None, :]    # (B,H,W,nA,nbins)
-        delta = dist(dx, self.alpha, self.gamma)
+        # The reference layer calls dist() WITHOUT arguments
+        # (attractor.py:194-196), so the torch.jit.script defaults
+        # alpha=300, gamma=2 apply and the configured self.alpha/gamma
+        # (1000 in the shipped zoedepth config) are silently unused.
+        # Reproduced exactly — self.alpha/self.gamma are retained for
+        # API compatibility only, like the reference's.  Caught by
+        # tests/test_reference_source_parity.py::test_reference_attractor.
+        delta = dist(dx, 300.0, 2)
         delta = delta.mean(-2) if self.kind == 'mean' else delta.sum(-2)
         b_new = b_prev + delta
         return b_new, b_new
@@ -95,12 +103,26 @@ class AttractorLayerUnnormed(nn.Module):
 def log_binomial(probs: jnp.ndarray, t: jnp.ndarray, n_classes: int,
                  eps: float = 1e-4) -> jnp.ndarray:
     """softmax over k of log C(K-1,k) + k log p + (K-1-k) log(1-p),
-    tempered by t (dist_layers.py:36-69). probs/t: (B,H,W,1)."""
+    tempered by t (dist_layers.py:29-69). probs/t: (B,H,W,1).
+
+    The binomial coefficient uses the reference's crude STIRLING
+    approximation n log n - k log k - (n-k) log(n-k) with eps=1e-7
+    (dist_layers.py:29-34) — NOT the exact lgamma form, which differs
+    by several percent at small k. Caught by
+    test_reference_source_parity.py::test_reference_conditional_log_binomial."""
     k = jnp.arange(n_classes, dtype=jnp.float32)
     K = float(n_classes)
-    log_binom_coef = (jax.scipy.special.gammaln(K) -
-                      jax.scipy.special.gammaln(k + 1) -
-                      jax.scipy.special.gammaln(K - k))
+    # host numpy f32, exactly like the torch tensor math: at k=K-1
+    # the (n-ks) factor is an exact 0.0 killing the log(seps) term;
+    # leaving this to XLA lets constant folding reassociate it into
+    # 0 * log(0) = NaN
+    seps = np.float32(1e-7)
+    kf = np.arange(n_classes, dtype=np.float32)
+    n = np.float32(K - 1.0) + seps
+    ks = kf + seps
+    log_binom_coef = jnp.asarray(
+        n * np.log(n) - ks * np.log(ks)
+        - (n - ks) * np.log(n - ks + seps))
     p = jnp.clip(probs, eps, 1.0)
     omp = jnp.clip(1.0 - probs, eps, 1.0)
     y = log_binom_coef + k * jnp.log(p) + (K - 1 - k) * jnp.log(omp)

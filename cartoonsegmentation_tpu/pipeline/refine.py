@@ -167,6 +167,10 @@ class AnimeSegRefiner:
 
     def load_torch_checkpoint(self, path: str) -> None:
         from ..models.convert import load_torch_ckpt
+        if self.net_name in ('u2net', 'u2netl'):
+            from ..models.u2net import convert_u2net
+            self._variables = convert_u2net(load_torch_ckpt(path))
+            return
         if not self.net_name.startswith('isnet') or \
                 self.net_name == 'isnet_gt':
             raise NotImplementedError(

@@ -473,7 +473,10 @@ class TorchZoeDepth(tnn.Module):
             A = tF.softplus(self.attractors[i](emb + pe))
             bp = self._resize_ac(b_prev, emb.shape[2], emb.shape[3])
             dx = A.unsqueeze(2) - bp.unsqueeze(1)  # (B,nA,nb,H,W)
-            delta = (dx / (1 + 1000.0 * dx ** 2)).mean(1)
+            # the reference attractor calls dist() with no args, so
+            # the jit defaults alpha=300, gamma=2 rule (attractor.py:
+            # 194-196) — NOT the configured alpha=1000
+            delta = (dx / (1 + 300.0 * dx ** 2)).mean(1)
             b = bp + delta
             b_prev, prev_emb, b_centers = b, emb, b
         last = hooks['out_conv']
@@ -489,8 +492,13 @@ class TorchZoeDepth(tnn.Module):
         K = float(self.n_bins)
         k = torch.arange(self.n_bins, dtype=torch.float32
                          ).view(1, -1, 1, 1)
-        coef = (torch.lgamma(torch.tensor(K)) - torch.lgamma(k + 1)
-                - torch.lgamma(K - k))
+        # reference log_binom is the STIRLING approximation with
+        # eps=1e-7 (dist_layers.py:29-34), not exact lgamma
+        seps = 1e-7
+        n = torch.tensor(K - 1.0 + seps)
+        ks = k + seps
+        coef = (n * torch.log(n) - ks * torch.log(ks)
+                - (n - ks) * torch.log(n - ks + seps))
         pc = p.clamp(1e-4, 1.0)
         omp = (1.0 - p).clamp(1e-4, 1.0)
         y = coef + k * torch.log(pc) + (K - 1 - k) * torch.log(omp)
@@ -1057,7 +1065,10 @@ class TorchZoeDepthNK(TorchZoeDepth):
             A = tF.softplus(self.attractors[name][i](emb + pe))
             bp = self._resize_ac(b_prev, emb.shape[2], emb.shape[3])
             dx = A.unsqueeze(2) - bp.unsqueeze(1)
-            delta = (dx / (1 + 1000.0 * dx ** 2)).mean(1)
+            # the reference attractor calls dist() with no args, so
+            # the jit defaults alpha=300, gamma=2 rule (attractor.py:
+            # 194-196) — NOT the configured alpha=1000
+            delta = (dx / (1 + 300.0 * dx ** 2)).mean(1)
             b = bp + delta
             b_prev, prev_emb, b_centers = b, emb, b
         last = hooks['out_conv']                        # no rel concat
@@ -1071,8 +1082,13 @@ class TorchZoeDepthNK(TorchZoeDepth):
         K = float(self.n_bins)
         k = torch.arange(self.n_bins, dtype=torch.float32
                          ).view(1, -1, 1, 1)
-        coef = (torch.lgamma(torch.tensor(K)) - torch.lgamma(k + 1)
-                - torch.lgamma(K - k))
+        # reference log_binom is the STIRLING approximation with
+        # eps=1e-7 (dist_layers.py:29-34), not exact lgamma
+        seps = 1e-7
+        n = torch.tensor(K - 1.0 + seps)
+        ks = k + seps
+        coef = (n * torch.log(n) - ks * torch.log(ks)
+                - (n - ks) * torch.log(n - ks + seps))
         pc = p.clamp(1e-4, 1.0)
         omp = (1.0 - p).clamp(1e-4, 1.0)
         y = coef + k * torch.log(pc) + (K - 1 - k) * torch.log(omp)
