@@ -59,38 +59,63 @@ def _c_round_scalar(v: float) -> int:
     return int(_m.copysign(_m.floor(abs(v) + 0.5), v))
 
 
-def _reachable_pairs(dxsp, dysp, max_weight: float):
-    """Static enumeration of every integer offset pair
-    (cround(dxsp_s*w), cround(dysp_s*w)) reachable for w in
-    [0, max_weight] — breakpoint-exact in f64, then dilated by the
-    8-neighborhood to absorb any f32-vs-f64 rounding-boundary flips
-    on device (a flip moves a sample to an adjacent pair; extra pairs
-    only cost time, never correctness)."""
+# ---------------------------------------------------------------------------
+# exact-f32 host-side enumeration of reachable offsets
+# ---------------------------------------------------------------------------
+
+def _cround_f32(coef, w):
+    """Host twin of the device per-sample offset: sign*floor(|x|+0.5)
+    with x = f32(coef) * f32(w), all arithmetic float32 — bit-exact
+    to _c_round_int(depth * coef) on device."""
     import numpy as np
-    pairs = set()
-    for a, b in zip(np.asarray(dxsp, np.float64),
-                    np.asarray(dysp, np.float64)):
-        bps = {0.0, max_weight}
-        for coef in (a, b):
-            if abs(coef) > 1e-12:
-                kmax = int(np.floor(abs(coef) * max_weight + 0.5))
-                for k in range(kmax + 1):
-                    wb = (k + 0.5) / abs(coef)
-                    if 0.0 < wb < max_weight:
-                        bps.add(wb)
-        bps = sorted(bps)
-        for lo, hi in zip(bps[:-1], bps[1:]):
-            m = 0.5 * (lo + hi)
-            pairs.add((_c_round_scalar(a * m), _c_round_scalar(b * m)))
-        pairs.add((_c_round_scalar(a * max_weight),
-                   _c_round_scalar(b * max_weight)))
-    pairs.add((0, 0))
-    dilated = set()
-    for kx, ky in pairs:
-        for ddx in (-1, 0, 1):
-            for ddy in (-1, 0, 1):
-                dilated.add((kx + ddx, ky + ddy))
-    return sorted(dilated)
+    x = np.float32(coef) * np.float32(w)
+    return int(np.sign(x) * np.floor(np.abs(x) + np.float32(0.5)))
+
+
+def _axis_segments(coef, max_w):
+    """Exact f32 segmentation of w in [0, max_w]: sorted breakpoints
+    b_1 < ... < b_n (each the SMALLEST f32 w whose offset differs
+    from the previous segment's), so segment i = [b_i, b_{i+1}) has a
+    constant offset k_i. Found by bisecting the f32 bit lattice — the
+    offset is monotone in w for fixed coef."""
+    import numpy as np
+    if np.float32(coef) == 0.0:
+        return [(np.float32(0.0), 0)]
+    hi_k = _cround_f32(coef, max_w)
+    segs = [(np.float32(0.0), _cround_f32(coef, 0.0))]
+    while segs[-1][1] != hi_k:
+        prev_b, prev_k = segs[-1]
+        # smallest f32 w in (prev_b, max_w] whose offset != prev_k:
+        # bisect directly on the (ordered, positive) f32 bit lattice
+        lo_b = int(np.float32(prev_b).view(np.uint32))
+        hi_b = int(np.float32(max_w).view(np.uint32))
+        while hi_b - lo_b > 1:
+            mid_b = (lo_b + hi_b) // 2
+            mid = np.uint32(mid_b).view(np.float32)
+            if _cround_f32(coef, mid) != prev_k:
+                hi_b = mid_b
+            else:
+                lo_b = mid_b
+        b = np.uint32(hi_b).view(np.float32)
+        segs.append((b, _cround_f32(coef, b)))
+    return segs
+
+
+def _sample_pairs(dxm, dym, max_w):
+    """Exact reachable (kx, ky) cells of ONE sample's offset map
+    w -> (cround(dxm*w), cround(dym*w)) over [0, max_w], f32-exact."""
+    import numpy as np
+    sx = _axis_segments(dxm, max_w)
+    sy = _axis_segments(dym, max_w)
+    # merge the two breakpoint lists; each joint segment = one cell
+    bps = sorted({float(b) for b, _ in sx} | {float(b) for b, _ in sy})
+    cells = []
+    for b in bps:
+        kx = next(k for bb, k in reversed(sx) if float(bb) <= b)
+        ky = next(k for bb, k in reversed(sy) if float(bb) <= b)
+        if not cells or cells[-1] != (kx, ky):
+            cells.append((kx, ky))
+    return cells
 
 
 def _shift2d(x: jnp.ndarray, ky: int, kx: int) -> jnp.ndarray:
@@ -100,6 +125,82 @@ def _shift2d(x: jnp.ndarray, ky: int, kx: int) -> jnp.ndarray:
         [(0, 0)] * (x.ndim - 2)
     xp = jnp.pad(x, pad)
     return xp[max(ky, 0):max(ky, 0) + H, max(kx, 0):max(kx, 0) + W]
+
+
+@functools.lru_cache(maxsize=64)
+def _pass_table(dx: float, dy: float, H: int, W: int,
+                num_samples: int, max_weight: float):
+    """Host tables for one pass direction: positive-side per-sample
+    coefficients (m = 1..S/2) and the exact-f32 map
+    cell -> (positive-side m list, negative-side m list).
+
+    The device samples are sp = (s - S/2)*im_size for s = 0..S-1:
+    negative side m = 1..S/2, positive side m = 1..S/2-1, plus the
+    center sp = 0 (always offset (0,0)). f32(dx * -m*im_size) is the
+    exact negation of f32(dx * m*im_size) (IEEE negation commutes
+    with rounding), so one set of positive-side offset codes B_m
+    serves both sides: positive samples land on cell B_m, negative
+    samples on -B_m."""
+    import numpy as np
+    im_size = min(H, W)
+    offset = num_samples // 2
+    dxm = tuple(np.float32(np.float64(dx) * (m * im_size))
+                for m in range(1, offset + 1))
+    dym = tuple(np.float32(np.float64(dy) * (m * im_size))
+                for m in range(1, offset + 1))
+    table = {}
+    for m in range(1, offset + 1):
+        for cell in _sample_pairs(dxm[m - 1], dym[m - 1], max_weight):
+            e = table.setdefault(cell, ([], []))
+            if m <= offset - 1:
+                e[0].append(m)
+            e[1].append(m)
+    span = 1 + max((max(abs(kx), abs(ky)) for kx, ky in table), default=0)
+    return dxm, dym, tuple((c, tuple(p), tuple(n))
+                           for c, (p, n) in sorted(table.items())), span
+
+
+def _pass_counts(depth, dx, dy, num_samples, max_weight):
+    """Per-offset sample-count tensors for one direction:
+    dict (kx, ky) -> (H, W) int32. Only S/2 per-sample code planes
+    are computed (mirror symmetry covers the other side)."""
+    H, W = depth.shape
+    dxm, dym, table, span = _pass_table(dx, dy, H, W, num_samples,
+                                        max_weight)
+    ox = _c_round_int(depth[None] * jnp.asarray(dxm)[:, None, None])
+    oy = _c_round_int(depth[None] * jnp.asarray(dym)[:, None, None])
+    code = ((ox + span) * (2 * span + 1) + (oy + span)).astype(jnp.int32)
+
+    counts = {}
+    for cell, pos_m, neg_m in table:
+        enc = (cell[0] + span) * (2 * span + 1) + (cell[1] + span)
+        if pos_m:
+            c = jnp.sum(code[jnp.asarray([m - 1 for m in pos_m])]
+                        == enc, axis=0) if len(pos_m) > 1 \
+                else (code[pos_m[0] - 1] == enc).astype(jnp.int32)
+            counts[cell] = counts.get(cell, 0) + c
+        mcell = (-cell[0], -cell[1])
+        c = jnp.sum(code[jnp.asarray([m - 1 for m in neg_m])]
+                    == enc, axis=0) if len(neg_m) > 1 \
+            else (code[neg_m[0] - 1] == enc).astype(jnp.int32)
+        counts[mcell] = counts.get(mcell, 0) + c
+    counts[(0, 0)] = counts.get((0, 0), 0) + 1   # center sample
+    return counts
+
+
+def _apply_counts(img, depth, counts):
+    """color/weight accumulation over the per-offset counts: one
+    zero-padded dense shift + FMA per reachable offset."""
+    H, W = depth.shape
+    wsum = jnp.zeros((H, W), depth.dtype)
+    color = jnp.zeros(img.shape[:2] + (img.shape[-1],), img.dtype)
+    for (kx, ky), n in counts.items():
+        wsh = _shift2d(depth, ky, kx)
+        contrib = n.astype(depth.dtype) * wsh
+        wsum = wsum + contrib
+        color = color + contrib[..., None] * _shift2d(img, ky, kx)
+    out = color / jnp.maximum(wsum, 1e-30)[..., None]
+    return jnp.where((wsum != 0.0)[..., None], out, img)
 
 
 def bokeh_pass(img: jnp.ndarray, depth: jnp.ndarray, dx: float, dy: float,
@@ -113,53 +214,57 @@ def bokeh_pass(img: jnp.ndarray, depth: jnp.ndarray, dx: float, dy: float,
     per-sample arithmetic, but instead of gathering S=32 samples per
     pixel (sparse-row-bound on TPU), the per-sample integer offsets
     are bounded by max_weight, so samples are COUNTED per reachable
-    offset pair (dense compares over the (S, H, W) offset codes) and
-    each pair contributes one zero-padded dense shift of img/weight.
-    ~20x faster than the gather at 576x1024.
+    offset cell (dense compares over per-sample offset-code planes)
+    and each cell contributes one zero-padded dense shift of
+    img/weight. Three exactness-preserving reductions vs the naive
+    counting: (1) offset cells are enumerated EXACTLY on the f32
+    lattice (_axis_segments bisection) instead of over-approximated
+    and dilated; (2) only S/2 code planes are computed — mirror
+    symmetry of cround covers the negative samples; (3) each cell
+    compares only the m-planes that can actually reach it.
+    Bit-exact to _bokeh_pass_gather (tests/test_ops_bokeh.py).
     """
-    H, W = depth.shape
-    import numpy as np
-    # the shifted-add formulation statically enumerates the offsets
-    # reachable for weights in [0, max_weight]; out-of-range weights
-    # would silently match no offset pair and drop their samples, so
-    # clamp (in-range inputs are untouched — bit-exact)
+    # out-of-range weights would silently match no offset cell and
+    # drop their samples, so clamp (in-range inputs are untouched —
+    # bit-exact)
     depth = jnp.clip(depth, 0.0, max_weight)
-    im_size = min(H, W)
-    offset = num_samples // 2
-    sp = (np.arange(num_samples) - offset) * im_size          # (S,)
-    dxsp = (dx * sp).astype(np.float32)
-    dysp = (dy * sp).astype(np.float32)
-    pairs = _reachable_pairs(dxsp, dysp, max_weight)
+    counts = _pass_counts(depth, dx, dy, num_samples, max_weight)
+    return _apply_counts(img, depth, counts)
 
-    # per-sample offsets, encoded to one u8 code per sample
-    ox = _c_round_int(depth[None] * jnp.asarray(dxsp)[:, None, None])
-    oy = _c_round_int(depth[None] * jnp.asarray(dysp)[:, None, None])
-    span = max(max(abs(kx) for kx, _ in pairs),
-               max(abs(ky) for _, ky in pairs)) + 1
-    code = ((ox + span) * (2 * span + 1) + (oy + span)).astype(jnp.int32)
 
-    wsum = jnp.zeros((H, W), depth.dtype)
-    color = jnp.zeros(img.shape[:2] + (img.shape[-1],), img.dtype)
-    for kx, ky in pairs:
-        pk = (kx + span) * (2 * span + 1) + (ky + span)
-        n = jnp.sum(code == pk, axis=0).astype(depth.dtype)   # (H, W)
-        wsh = _shift2d(depth, ky, kx)
-        contrib = n * wsh
-        wsum = wsum + contrib
-        color = color + contrib[..., None] * _shift2d(img, ky, kx)
-    out = color / jnp.maximum(wsum, 1e-30)[..., None]
-    return jnp.where((wsum != 0.0)[..., None], out, img)
+def _diag_mirrorable(H, W, num_samples, max_weight=_SCALE):
+    """True when the rhomboid direction's per-sample f32 coefficients
+    are the EXACT x-negation of the diagonal's (they are cos(-pi/6)
+    vs cos(-5pi/6) — equal after f32 rounding in practice, but this
+    is verified, not assumed). Then the rhomboid pass can reuse the
+    diagonal's count tensors with kx mirrored — the most expensive
+    part of a pass — at zero cost."""
+    import numpy as np
+    PI = math.pi
+    d2 = _pass_table(math.cos(-PI / 6), math.sin(-PI / 6), H, W,
+                     num_samples, max_weight)
+    d3 = _pass_table(math.cos(-PI * 5 / 6), math.sin(-PI * 5 / 6), H, W,
+                     num_samples, max_weight)
+    return (np.array_equal(np.asarray(d3[0]), -np.asarray(d2[0]))
+            and np.array_equal(np.asarray(d3[1]), np.asarray(d2[1])))
 
 
 @functools.partial(jax.jit, static_argnames=('num_samples',))
 def _bokeh_core(img01, weight, lightness_factor, num_samples):
     PI = math.pi
+    H, W = weight.shape
     hi = jnp.power(jnp.maximum(img01, 0.0), lightness_factor)
+    weight = jnp.clip(weight, 0.0, _SCALE)
     vert = bokeh_pass(hi, weight, 0.0, 1.0, num_samples)
-    diag = bokeh_pass(vert, weight, math.cos(-PI / 6), math.sin(-PI / 6),
-                      num_samples)
-    rhom = bokeh_pass(diag, weight, math.cos(-PI * 5 / 6),
-                      math.sin(-PI * 5 / 6), num_samples)
+    c_diag = _pass_counts(weight, math.cos(-PI / 6), math.sin(-PI / 6),
+                          num_samples, _SCALE)
+    diag = _apply_counts(vert, weight, c_diag)
+    if _diag_mirrorable(H, W, num_samples):
+        c_rhom = {(-kx, ky): n for (kx, ky), n in c_diag.items()}
+    else:  # pragma: no cover - never hit for the shipped directions
+        c_rhom = _pass_counts(weight, math.cos(-PI * 5 / 6),
+                              math.sin(-PI * 5 / 6), num_samples, _SCALE)
+    rhom = _apply_counts(diag, weight, c_rhom)
     blurred = (diag + rhom) / 2.0
     return jnp.power(blurred, 1.0 / lightness_factor)
 
