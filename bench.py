@@ -97,8 +97,25 @@ def main() -> None:
     # over the link, decoded+encoded host-side while transferring)
     from cartoonsegmentation_tpu.pipeline import stream_video
     t0 = time.time()
-    stream_video(frames_nodof, '/tmp/bench_stream.mp4', playback=False)
+    stream_video(frames, '/tmp/bench_stream.mp4', playback=False)
     transfer_i420_s = time.time() - t0
+
+    # the WHOLE clip, image -> mp4 (seg off, depth + autozoom +
+    # inpaint + chunked render overlapped with I420 transfer+encode):
+    # the reference's headline workload is this full path
+    # (run_kenburns.py:19-41). Steady state: second run, perturbed
+    # image so nothing memoizes.
+    pipe.run(img, '/tmp/bench_clip.mp4')          # compile any rest
+    img3 = cv2.convertScaleAbs(img, alpha=0.998)
+    t0 = time.time()
+    pipe.run(img3, '/tmp/bench_clip.mp4')
+    clip_wall_s = time.time() - t0
+
+    # render+transfer+encode overlap alone (state already built)
+    t0 = time.time()
+    pipe.render_frames_stream(state, obj_from, obj_to, steps,
+                              '/tmp/bench_stream2.mp4')
+    stream_overlap_s = time.time() - t0
 
     # secondary: detector forward throughput at 640 in f32 AND bf16
     # (scan-chained so tunnel dispatch latency doesn't pollute it;
@@ -106,10 +123,12 @@ def main() -> None:
     import jax.numpy as jnp
     from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
 
-    def det_bench(dtype):
+    def det_bench(dtype, batch=1):
         seg = AnimeInsSeg(det_size=640, dtype=dtype)
         x, _, _ = seg._preprocess(img)
+        x = np.repeat(x, batch, axis=0)
         variables = seg._ensure_variables()
+        length = 8 if batch == 1 else 4
 
         @jax.jit
         def det_scan(variables, x0):
@@ -117,9 +136,18 @@ def main() -> None:
                 out = seg.model.apply(variables, x)
                 delta = out[3].mean() * 0.0
                 return x + delta, out[0][0].mean()
-            _, outs = jax.lax.scan(step, x0, None, length=8)
+            _, outs = jax.lax.scan(step, x0, None, length=length)
             return outs
 
+        flops = None
+        try:
+            ca = det_scan.lower(variables, jnp.asarray(x)) \
+                .compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = ca.get('flops')
+        except Exception:
+            pass
         outs = det_scan(variables, jnp.asarray(x))
         jax.block_until_ready(outs)
         # best of 3 — tunnel latency spikes otherwise pollute the
@@ -131,13 +159,19 @@ def main() -> None:
                             jnp.asarray(x) * (1.0 + 1e-4 * (i + 1)))
             jax.block_until_ready(outs)
             best = min(best, time.time() - t0)
-        return 8 / best
+        fps = length * batch / best
+        # flops is the whole-scan count; /best -> sustained FLOP/s
+        tflops = flops / best / 1e12 if flops else None
+        return fps, tflops
 
-    det_fps_f32 = det_bench(None)
+    det_fps_f32, _ = det_bench(None)
     try:
-        det_fps_bf16 = det_bench('bfloat16')
+        det_fps_bf16, _ = det_bench('bfloat16')
     except Exception:
         det_fps_bf16 = None
+    # throughput-bound: DP batch on one chip (pipeline/segment.py
+    # infer_batch is the multi-chip path; the forward itself batches)
+    det_fps_b16, det_tflops_b16 = det_bench('bfloat16', batch=16)
 
     result = {
         'metric': 'kenburns_render_fps_1024_default',
@@ -157,6 +191,11 @@ def main() -> None:
             'detector_fwd_fps_640_f32': round(det_fps_f32, 2),
             'detector_fwd_fps_640_bf16':
                 round(det_fps_bf16, 2) if det_fps_bf16 else None,
+            'detector_fwd_fps_640_bf16_b16': round(det_fps_b16, 2),
+            'detector_b16_tflops':
+                round(det_tflops_b16, 2) if det_tflops_b16 else None,
+            'clip_wall_s': round(clip_wall_s, 3),
+            'stream_overlap_s': round(stream_overlap_s, 3),
         },
     }
     print(json.dumps(result))
