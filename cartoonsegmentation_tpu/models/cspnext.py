@@ -7,8 +7,12 @@ topology follows the RTMDet paper / mmdet cspnext family:
 stem(3 convs) → 4 stages of [conv s2, (SPP), CSPLayer] with SiLU+BN,
 channel attention; PAFPN with top-down + bottom-up CSP fusion.
 
-All convs are bias-free + BatchNorm(inference: running stats) + SiLU,
-so the whole trunk is MXU-friendly; run it in bfloat16 via ``dtype``.
+All convs are bias-free + BatchNorm + SiLU, so the whole trunk is
+MXU-friendly; run it in bfloat16 via ``dtype``. Inference
+(``train=False``, the default) uses running stats; training uses
+batch statistics computed over the GLOBAL jit batch — on a sharded
+mesh XLA inserts the cross-chip reductions, which is the reference's
+SyncBN (mmdet ``norm_cfg=dict(type='SyncBN')``) riding ICI for free.
 """
 from __future__ import annotations
 
@@ -19,7 +23,7 @@ from flax import linen as nn
 
 
 class ConvBNAct(nn.Module):
-    """conv → BN(running stats) → SiLU (mmcv ConvModule equivalent)."""
+    """conv → BN → SiLU (mmcv ConvModule equivalent)."""
     features: int
     kernel: int = 3
     stride: int = 1
@@ -28,13 +32,13 @@ class ConvBNAct(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         p = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=[(p, p), (p, p)], feature_group_count=self.groups,
                     use_bias=False, dtype=self.dtype, name='conv')(x)
-        x = nn.BatchNorm(use_running_average=True, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn')(x)
         return nn.silu(x) if self.act else x
 
@@ -46,10 +50,10 @@ class DWSepConv(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = ConvBNAct(x.shape[-1], self.kernel, groups=x.shape[-1],
-                      dtype=self.dtype, name='dw')(x)
-        x = ConvBNAct(self.features, 1, dtype=self.dtype, name='pw')(x)
+                      dtype=self.dtype, name='dw')(x, train)
+        x = ConvBNAct(self.features, 1, dtype=self.dtype, name='pw')(x, train)
         return x
 
 
@@ -59,9 +63,11 @@ class CSPNeXtBlock(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x):
-        h = ConvBNAct(self.features, 3, dtype=self.dtype, name='conv1')(x)
-        h = DWSepConv(self.features, 5, dtype=self.dtype, name='conv2')(h)
+    def __call__(self, x, train: bool = False):
+        h = ConvBNAct(self.features, 3, dtype=self.dtype,
+                      name='conv1')(x, train)
+        h = DWSepConv(self.features, 5, dtype=self.dtype,
+                      name='conv2')(h, train)
         if self.add_identity and x.shape[-1] == self.features:
             return h + x
         return h
@@ -86,18 +92,19 @@ class CSPLayer(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         mid = int(self.out_channels * self.expand_ratio)
-        main = ConvBNAct(mid, 1, dtype=self.dtype, name='main_conv')(x)
-        short = ConvBNAct(mid, 1, dtype=self.dtype, name='short_conv')(x)
+        main = ConvBNAct(mid, 1, dtype=self.dtype, name='main_conv')(x, train)
+        short = ConvBNAct(mid, 1, dtype=self.dtype,
+                          name='short_conv')(x, train)
         for i in range(self.num_blocks):
             main = CSPNeXtBlock(mid, self.add_identity, dtype=self.dtype,
-                                name=f'block{i}')(main)
+                                name=f'block{i}')(main, train)
         h = jnp.concatenate([main, short], -1)
         if self.channel_attention:
             h = ChannelAttention(name='attention')(h)
         return ConvBNAct(self.out_channels, 1, dtype=self.dtype,
-                         name='final_conv')(h)
+                         name='final_conv')(h, train)
 
 
 class SPPBottleneck(nn.Module):
@@ -106,9 +113,9 @@ class SPPBottleneck(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         mid = x.shape[-1] // 2
-        h = ConvBNAct(mid, 1, dtype=self.dtype, name='conv1')(x)
+        h = ConvBNAct(mid, 1, dtype=self.dtype, name='conv1')(x, train)
         pools = [h]
         for k in self.pool_sizes:
             p = k // 2
@@ -116,7 +123,7 @@ class SPPBottleneck(nn.Module):
                                      padding=[(p, p), (p, p)]))
         h = jnp.concatenate(pools, -1)
         return ConvBNAct(self.out_channels, 1, dtype=self.dtype,
-                         name='conv2')(h)
+                         name='conv2')(h, train)
 
 
 # stage table: (out_channels, num_blocks, add_identity, use_spp)
@@ -132,14 +139,15 @@ class CSPNeXt(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         w = self.widen
         # mmdet CSPNeXt stem: 3 → int(64*w//2) → int(64*w//2) →
         # int(64*w)  (64 = stage-1 in_channels of the P5 arch table)
         stem0 = int(64 * w // 2)
-        x = ConvBNAct(stem0, 3, 2, dtype=self.dtype, name='stem0')(x)
-        x = ConvBNAct(stem0, 3, 1, dtype=self.dtype, name='stem1')(x)
-        x = ConvBNAct(int(64 * w), 3, 1, dtype=self.dtype, name='stem2')(x)
+        x = ConvBNAct(stem0, 3, 2, dtype=self.dtype, name='stem0')(x, train)
+        x = ConvBNAct(stem0, 3, 1, dtype=self.dtype, name='stem1')(x, train)
+        x = ConvBNAct(int(64 * w), 3, 1, dtype=self.dtype,
+                      name='stem2')(x, train)
         outs = []
         if 0 in self.out_indices:
             outs.append(x)
@@ -147,12 +155,12 @@ class CSPNeXt(nn.Module):
             c = int(c * w)
             n = max(round(n * self.deepen), 1)
             x = ConvBNAct(c, 3, 2, dtype=self.dtype,
-                          name=f'stage{si}_conv')(x)
+                          name=f'stage{si}_conv')(x, train)
             if use_spp:
                 x = SPPBottleneck(c, dtype=self.dtype,
-                                  name=f'stage{si}_spp')(x)
+                                  name=f'stage{si}_spp')(x, train)
             x = CSPLayer(c, n, add_identity=add_id, channel_attention=True,
-                         dtype=self.dtype, name=f'stage{si}_csp')(x)
+                         dtype=self.dtype, name=f'stage{si}_csp')(x, train)
             if si + 1 in self.out_indices:
                 outs.append(x)
         return tuple(outs)
@@ -166,14 +174,14 @@ class CSPNeXtPAFPN(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]):
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         ch = self.in_channels
         n = len(ch)
         # top-down
         inner = [feats[-1]]
         for k, idx in enumerate(range(n - 1, 0, -1)):
             high = ConvBNAct(ch[idx - 1], 1, dtype=self.dtype,
-                             name=f'reduce{k}')(inner[0])
+                             name=f'reduce{k}')(inner[0], train)
             inner[0] = high
             # nearest x2 upsample (matches torch Upsample(mode='nearest'))
             up = jnp.repeat(jnp.repeat(high, 2, axis=-3), 2, axis=-2)
@@ -182,18 +190,19 @@ class CSPNeXtPAFPN(nn.Module):
             merged = jnp.concatenate([up, feats[idx - 1]], -1)
             td = CSPLayer(ch[idx - 1], self.num_csp_blocks,
                           add_identity=False, dtype=self.dtype,
-                          name=f'top_down{k}')(merged)
+                          name=f'top_down{k}')(merged, train)
             inner.insert(0, td)
         # bottom-up
         outs = [inner[0]]
         for idx in range(n - 1):
             down = ConvBNAct(ch[idx], 3, 2, dtype=self.dtype,
-                             name=f'downsample{idx}')(outs[-1])
+                             name=f'downsample{idx}')(outs[-1], train)
             merged = jnp.concatenate([down, inner[idx + 1]], -1)
             bu = CSPLayer(ch[idx + 1], self.num_csp_blocks,
                           add_identity=False, dtype=self.dtype,
-                          name=f'bottom_up{idx}')(merged)
+                          name=f'bottom_up{idx}')(merged, train)
             outs.append(bu)
         return tuple(
             ConvBNAct(self.out_channels, 3, dtype=self.dtype,
-                      name=f'out{i}')(o) for i, o in enumerate(outs))
+                      name=f'out{i}')(o, train)
+            for i, o in enumerate(outs))

@@ -46,7 +46,7 @@ class MaskFeatModule(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]):
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         h0, w0 = feats[0].shape[-3], feats[0].shape[-2]
         fused = [feats[0]]
         for f in feats[1:]:
@@ -59,7 +59,7 @@ class MaskFeatModule(nn.Module):
                     dtype=self.dtype, name='fusion_conv')(x)
         for i in range(self.stacked_convs):
             x = ConvBNAct(self.feat_channels, 3, dtype=self.dtype,
-                          name=f'conv{i}')(x)
+                          name=f'conv{i}')(x, train)
         return nn.Conv(self.num_prototypes, (1, 1), use_bias=True,
                        dtype=self.dtype, name='projection')(x)
 
@@ -73,7 +73,7 @@ class RTMDetInsSepBNHead(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]):
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         nl = len(feats)
         # shared conv kernels across levels, separate BN per level:
         # instantiate level-0 convs and reuse their kernels via scope
@@ -96,22 +96,25 @@ class RTMDetInsSepBNHead(nn.Module):
             c = x
             for i in range(self.stacked_convs):
                 c = cls_convs[i](c)
-                c = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype,
+                c = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype,
                                  name=f'cls_bn_l{lv}_{i}')(c)
                 c = nn.silu(c)
             r = x
             for i in range(self.stacked_convs):
                 r = reg_convs[i](r)
-                r = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype,
+                r = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype,
                                  name=f'reg_bn_l{lv}_{i}')(r)
                 r = nn.silu(r)
             k = x
             for i in range(self.stacked_convs):
                 k = krn_convs[i](k)
-                k = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype,
+                k = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype,
                                  name=f'kernel_bn_l{lv}_{i}')(k)
                 k = nn.silu(k)
             cls_out.append(nn.Conv(self.num_classes, (1, 1), use_bias=True,
@@ -133,16 +136,17 @@ class AnimeDetector(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, train: bool = False):
         feats = CSPNeXt(self.deepen, self.widen, dtype=self.dtype,
-                        name='backbone')(images)
+                        name='backbone')(images, train)
         neck = CSPNeXtPAFPN(
             tuple(int(c * self.widen) for c in (256, 512, 1024)),
             int(256 * self.widen), max(round(3 * self.deepen), 1),
-            dtype=self.dtype, name='neck')(feats)
+            dtype=self.dtype, name='neck')(feats, train)
         cls_out, reg_out, krn_out = RTMDetInsSepBNHead(
-            dtype=self.dtype, name='bbox_head')(neck)
-        mask_feat = MaskFeatModule(dtype=self.dtype, name='mask_head')(neck)
+            dtype=self.dtype, name='bbox_head')(neck, train)
+        mask_feat = MaskFeatModule(dtype=self.dtype,
+                                   name='mask_head')(neck, train)
         # emit f32 regardless of the compute dtype: postprocess (score
         # sigmoid, box decode, NMS IoU, dynamic mask convs) runs in f32
         f32 = lambda t: jnp.asarray(t, jnp.float32)

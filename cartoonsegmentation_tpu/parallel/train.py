@@ -7,11 +7,20 @@ replacing torch.distributed `reduce_mean`
 (rtmdet_inshead_custom.py:118-124).
 
 The loss is a functional RTMDet-Ins loss: classification
-quality-focal BCE over all priors, GIoU on positives, mask BCE on
+quality-focal BCE over all priors, GIoU on positives, mask dice on
 positives via the dynamic-conv heads. Positives come from the
 DynamicSoftLabelAssigner (parallel/dsla.py — the assigner mmdet uses
 for the reference's RTMDet training) by default; a cheap
 center-distance assigner remains available via ``assigner='center'``.
+
+BatchNorm runs in TRAIN mode here (batch statistics over the global
+jit batch → XLA cross-chip reductions = the reference's SyncBN), and
+the updated running stats flow back through the aux output into
+TrainState.batch_stats. This is load-bearing: with frozen init stats
+nothing normalizes, intermediate activations grow to O(100), and the
+dynamic-conv mask branch (which concatenates O(1) relative coords
+with the mask features) plateaus at a constant prediction — the
+train→mAP closure test (tests/test_train_map_closure.py) pins this.
 """
 from __future__ import annotations
 
@@ -100,9 +109,18 @@ def detector_loss(model: AnimeDetector, params, batch_stats, batch,
         gt_ignore = jnp.zeros(batch['gt_valid'].shape, bool)
     H, W = images.shape[1:3]
     variables = {'params': params}
+    new_batch_stats = batch_stats
     if batch_stats:
+        # train-mode BN: batch statistics over the GLOBAL jit batch
+        # (XLA inserts cross-chip reductions on a sharded mesh — the
+        # reference's SyncBN, mmdet norm_cfg 'SyncBN', riding ICI),
+        # running stats updated for inference
         variables['batch_stats'] = batch_stats
-    cls_out, reg_out, krn_out, mask_feat = model.apply(variables, images)
+        (cls_out, reg_out, krn_out, mask_feat), mut = model.apply(
+            variables, images, train=True, mutable=['batch_stats'])
+        new_batch_stats = mut['batch_stats']
+    else:
+        cls_out, reg_out, krn_out, mask_feat = model.apply(variables, images)
     scores, dists, kernels, priors, strides = _flatten_levels(
         cls_out, reg_out, krn_out, (H, W))
 
@@ -151,18 +169,28 @@ def detector_loss(model: AnimeDetector, params, batch_stats, batch,
         logits_up = jax.image.resize(
             logits, (K, H // s, W // s), method='linear')
         tgt_ds = tgt_ds[:, :H // s, :W // s].astype(jnp.float32)
-        bce = optax.sigmoid_binary_cross_entropy(logits_up, tgt_ds)
-        loss_mask = jnp.sum(
-            jnp.mean(bce, axis=(1, 2)) * sel_valid) / jnp.maximum(
-                jnp.sum(sel_valid), 1.0)
+        # dice loss per instance (reference rtmdet_inshead_custom.py:
+        # 242-248 with mmdet DiceLoss: use_sigmoid, non-naive,
+        # eps=5e-6, averaged over positives)
+        probs = jax.nn.sigmoid(logits_up)
+        eps = 5e-6
+        inter = jnp.sum(probs * tgt_ds, axis=(1, 2))
+        denom = jnp.sum(probs * probs, axis=(1, 2)) + eps \
+            + jnp.sum(tgt_ds * tgt_ds, axis=(1, 2)) + eps
+        dice = 1.0 - 2.0 * inter / denom
+        loss_mask = jnp.sum(dice * sel_valid) / jnp.maximum(
+            jnp.sum(sel_valid), 1.0)
         return loss_cls, loss_box, loss_mask
 
     lc, lb, lm = jax.vmap(per_image)(
         scores, dists, kernels, mask_feat, batch['gt_boxes'],
         batch['gt_valid'], batch['gt_masks'], gt_ignore)
-    loss = jnp.mean(lc) + 2.0 * jnp.mean(lb) + jnp.mean(lm)
-    return loss, {'loss': loss, 'loss_cls': jnp.mean(lc),
-                  'loss_bbox': jnp.mean(lb), 'loss_mask': jnp.mean(lm)}
+    # reference loss weights (mmdet rtmdet-ins defaults): cls 1.0 QFL,
+    # bbox 2.0 GIoU, mask 2.0 Dice
+    loss = jnp.mean(lc) + 2.0 * jnp.mean(lb) + 2.0 * jnp.mean(lm)
+    return loss, ({'loss': loss, 'loss_cls': jnp.mean(lc),
+                   'loss_bbox': jnp.mean(lb), 'loss_mask': jnp.mean(lm)},
+                  new_batch_stats)
 
 
 def _giou(a, b):
@@ -189,12 +217,12 @@ def make_train_step(model: AnimeDetector, tx: optax.GradientTransformation,
         def loss_fn(p):
             return detector_loss(model, p, state.batch_stats, batch,
                                  assigner=assigner)
-        (loss, metrics), grads = jax.value_and_grad(
+        (loss, (metrics, batch_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, state.batch_stats, opt_state,
+        return TrainState(params, batch_stats, opt_state,
                           state.step + 1), metrics
 
     return train_step

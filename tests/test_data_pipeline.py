@@ -113,7 +113,7 @@ def test_ignore_mask_semantics(tiny_dataset):
     gt_valid = jnp.asarray([[True, True]])
 
     def losses(ignore, valid=gt_valid):
-        _, m = detector_loss(model, params, bstats, {
+        _, (m, _) = detector_loss(model, params, bstats, {
             'images': images, 'gt_boxes': gt_boxes, 'gt_masks': gt_masks,
             'gt_valid': valid, 'gt_ignore': jnp.asarray([ignore])})
         return {k: float(v) for k, v in m.items()}
