@@ -177,6 +177,7 @@ class KenBurnsPipeline:
                 instances = self._detector.infer(img, cfg.pred_score_thr)
 
         img = scaledown_maxsize(img, cfg.max_size)
+        self.stages['input'] = np.ascontiguousarray(img)
         H, W = img.shape[:2]
         if instances is None:
             instances = Instances.empty(cfg.max_instances, H, W)
@@ -195,30 +196,8 @@ class KenBurnsPipeline:
         # final refinement (kenburns_effect.py:618-622): Refine net or
         # the CPU/TPU-hybrid CRF path, both optional
         with self.timer.time('depth_refine'):
-            if cfg.default_depth_refine:
-                disparity_raw = self._refine_disparity(image,
-                                                       disparity_raw)
-            elif cfg.refine_crf:
-                from .crf_refine import refine_depth_crf
-                if disparity_raw.shape[:2] != (H, W):
-                    disparity_raw = jax.image.resize(
-                        disparity_raw, (H, W, 1), method='linear',
-                        antialias=False)
-                ins_mask = np.asarray(
-                    jax.device_get(instances.compose_masks()))
-                refined = refine_depth_crf(
-                    img,
-                    np.asarray(jax.device_get(disparity_raw[..., 0])),
-                    ins_mask if ins_mask.any() else None)
-                disparity_raw = jnp.asarray(refined)[..., None]
-            # the 'default' estimator's half-of-512 grid must reach
-            # _prepare_state at image res; Refine already emits image
-            # res, but with refinement disabled resize here (the
-            # reference has no working no-refine path for this grid)
-            if disparity_raw.shape[:2] != (H, W):
-                disparity_raw = jax.image.resize(
-                    disparity_raw, (H, W, 1), method='linear',
-                    antialias=False)
+            disparity_raw = self._refine_stage(img, image,
+                                               disparity_raw, instances)
             self._stage_depth('depth_final', disparity_raw)
         if self._detector is not None:
             self.stages['instances'] = instances.draw(img)
@@ -226,6 +205,38 @@ class KenBurnsPipeline:
             state = self._prepare_state(image, disparity_raw, instances)
             jax.block_until_ready(state.cloud.points)
         return state
+
+    def _refine_stage(self, img: np.ndarray, image: jnp.ndarray,
+                      disparity_raw: jnp.ndarray,
+                      instances: Instances) -> jnp.ndarray:
+        """Final depth refinement at image resolution: Refine net or
+        the CPU/TPU-hybrid CRF path, both optional; the 'default'
+        estimator's half-of-512 grid must reach _prepare_state at
+        image res either way. Parity: kenburns_effect.py:618-622.
+        Shared by generate_state and the Web UI's per-stage stepping
+        route (serving/interface.py)."""
+        cfg = self.cfg
+        H, W = img.shape[:2]
+        if cfg.default_depth_refine:
+            disparity_raw = self._refine_disparity(image, disparity_raw)
+        elif cfg.refine_crf:
+            from .crf_refine import refine_depth_crf
+            if disparity_raw.shape[:2] != (H, W):
+                disparity_raw = jax.image.resize(
+                    disparity_raw, (H, W, 1), method='linear',
+                    antialias=False)
+            ins_mask = np.asarray(
+                jax.device_get(instances.compose_masks()))
+            refined = refine_depth_crf(
+                img,
+                np.asarray(jax.device_get(disparity_raw[..., 0])),
+                ins_mask if ins_mask.any() else None)
+            disparity_raw = jnp.asarray(refined)[..., None]
+        if disparity_raw.shape[:2] != (H, W):
+            disparity_raw = jax.image.resize(
+                disparity_raw, (H, W, 1), method='linear',
+                antialias=False)
+        return disparity_raw
 
     def _stage_depth(self, name: str, disparity) -> None:
         self.stages[name] = np.asarray(

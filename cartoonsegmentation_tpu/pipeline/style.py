@@ -181,7 +181,20 @@ class StyleEditor:
             h, w = long_side_to(H, W, cfg.long_side)
             img_rgb = cv2.resize(img_bgr, (w, h),
                                  interpolation=cv2.INTER_LANCZOS4)[..., ::-1]
+        return self.repaint_prepared(img_rgb, bg_rgb, mask_fg, masks,
+                                     fg_prompts, bg_prompt, imname)
 
+    def repaint_prepared(self, img_rgb: np.ndarray, bg_rgb: np.ndarray,
+                         mask_fg: np.ndarray, masks: List[np.ndarray],
+                         fg_prompts: List[str], bg_prompt: str,
+                         imname: str) -> List[str]:
+        """The repaint loop on already-prepared (possibly user-edited)
+        masks and prompts — the seam the Web UI's per-instance style
+        editing rides (reference interaction:
+        Web_UI/Component/Component_Style_Editing.py:1345-2219, where
+        detected masks and auto-tags are editable before repainting)."""
+        import cv2
+        cfg = self.cfg
         h, w = img_rgb.shape[:2]
         data = dict(cfg.sd_params)
         data.setdefault('width', w)

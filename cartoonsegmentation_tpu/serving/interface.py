@@ -32,9 +32,11 @@ class KenBurnsService:
         self.pipe = pipeline
         self.segmentor = segmentor
         self.state = None
+        self.img: Optional[np.ndarray] = None
         self.obj_from: Optional[Dict] = None
         self.obj_to: Optional[Dict] = None
         self.frame_cache: Dict[float, bytes] = {}
+        self.inpainted = False   # passes run for the CURRENT boxes
         self.lock = threading.Lock()
         # MJPEG playback state (naive_interface.py:27-34,131-173)
         self.times = np.linspace(0.0, 1.0,
@@ -51,15 +53,82 @@ class KenBurnsService:
         with self.lock:
             self.state = self.pipe.generate_state(img)
             self.obj_from, self.obj_to = self.pipe.autozoom(self.state)
+            self.img = self.pipe.stages.get('input')
+            if self.img is None:
+                self.img = img
             self.frame_cache.clear()
+            self.inpainted = False
             self.times = np.linspace(
                 0.0, 1.0, self.pipe.cfg.num_frame).tolist()
             self.int_time = 0
             H, W = self.state.hw
         return {'height': int(H), 'width': int(W),
-                'objFrom': self.obj_from, 'objTo': self.obj_to}
+                'objFrom': self.obj_from, 'objTo': self.obj_to,
+                'stages': self.stage_list()}
 
-    # keys the /config route may switch at runtime; jit caches key on
+    # -- per-stage stepping (reference stepping-demonstration tab:
+    # Web_UI/Component/Component_AIS.py:493-787 runs the pipeline
+    # stage by stage — segmentation, disparity estimation, coarse
+    # depth, adjusted/refined depth, inpainted cloud — and previews
+    # each; here generate_state records the same intermediates in
+    # pipe.stages and these routes expose them one step at a time) --
+    def stage_list(self):
+        return sorted(self.pipe.stages.keys())
+
+    def stage_image(self, name: str) -> bytes:
+        import cv2
+        with self.lock:
+            if name not in self.pipe.stages:
+                raise ValueError(
+                    f'no stage {name!r}; have {self.stage_list()}')
+            img = np.asarray(self.pipe.stages[name])
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.jpg', img,
+                               [cv2.IMWRITE_JPEG_QUALITY, 90])
+        return enc.tobytes()
+
+    def autozoom_preview(self) -> bytes:
+        """Input image with the from (green) / to (red) camera crop
+        boxes drawn — the reference's HighLight_Crop_AutoZoom preview
+        (Component_AIS.py:1698-1741)."""
+        import cv2
+        with self.lock:
+            if self.state is None or self.img is None:
+                raise ValueError('no image loaded')
+            img = np.ascontiguousarray(self.img).copy()
+            boxes = ((self.obj_from, (0, 200, 0)),
+                     (self.obj_to, (0, 0, 220)))
+            for obj, color in boxes:
+                x1 = int(round(obj['center_u'] - obj['crop_w'] / 2))
+                y1 = int(round(obj['center_v'] - obj['crop_h'] / 2))
+                x2 = x1 + int(obj['crop_w'])
+                y2 = y1 + int(obj['crop_h'])
+                cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
+            cv2.putText(img, 'from', (8, 24),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 200, 0), 2)
+            cv2.putText(img, 'to', (8, 48),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 0, 220), 2)
+        ok, enc = cv2.imencode('.jpg', img,
+                               [cv2.IMWRITE_JPEG_QUALITY, 90])
+        return enc.tobytes()
+
+    def step_inpaint(self) -> Dict:
+        """Stepping tab: run the two inpaint passes on the cached
+        state so the inpainted-cloud previews (stages inpainted_N)
+        become available before encoding; the inpainted state is kept
+        so /get_result reuses it."""
+        with self.lock:
+            if self.state is None:
+                raise ValueError('no image loaded')
+            st = self.state
+            for t in (0.0, 1.0):
+                su, sv, ds, _, _ = self.pipe._camera_params(
+                    t, self.obj_from, self.obj_to, st)
+                st = self.pipe.inpaint_pass(st, su, sv, ds)
+            self.state = self.pipe.compact_state(st)
+            self.inpainted = True
+        return {'ok': True, 'stages': self.stage_list()}
     # everything relevant or are rebuilt via a fresh pipeline object
     CONFIG_KEYS = ('depth_est', 'inpaint_type', 'depth_field',
                    'num_frame', 'max_size', 'discfill_mode',
@@ -115,6 +184,7 @@ class KenBurnsService:
                 self.obj_to = tgt
                 self.int_time = len(self.times) - 1   # ... to t=1.0
             self.frame_cache.clear()
+            self.inpainted = False      # extremes moved: new passes
 
     def set_mode(self, mode: str) -> None:
         """Playback mode: 'automatic' advances t each streamed frame,
@@ -253,14 +323,131 @@ class KenBurnsService:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # -- per-instance style editing (reference interaction model:
+    # Web_UI/Component/Component_Style_Editing.py:1345-2219 — detect,
+    # auto-tag, let the user EDIT each instance's mask and prompt,
+    # then repaint) ---------------------------------------------------
+    def _style_editor(self, payload: Dict, tmp: str):
+        from ..pipeline.style import StyleConfig, StyleEditor
+        cfg = StyleConfig(
+            url=payload.get('url',
+                            'http://127.0.0.1:7860/sdapi/v1/img2img'),
+            style_prompt=payload.get('style_prompt', ''),
+            bg_nprompt=payload.get('bg_nprompt', ''),
+            global_nprompt=payload.get('global_nprompt', ''),
+            long_side=int(payload.get('long_side', 768)),
+            denoising_strength=float(
+                payload.get('denoising_strength', 0.75)),
+            cache_masks_dir=f'{tmp}/cache', save_dir=f'{tmp}/out',
+            sd_params={
+                'steps': int(payload.get('steps', 24)),
+                'cfg_scale': float(payload.get('cfg_scale', 9)),
+                'sampler_name': payload.get('sampler_name', 'Euler a'),
+                'seed': int(payload.get('seed', 0)),
+                'alwayson_scripts': {'controlnet': {'args': [{}]}},
+            })
+        return StyleEditor(cfg, detector=self.segmentor,
+                           tagger=getattr(self, 'tagger', None))
+
+    @staticmethod
+    def _b64png(img: np.ndarray) -> str:
+        import base64
+
+        import cv2
+        ok, enc = cv2.imencode('.png', img)
+        return base64.b64encode(enc.tobytes()).decode()
+
+    @staticmethod
+    def _unb64(data: str, gray: bool = False) -> np.ndarray:
+        import base64
+
+        import cv2
+        arr = np.frombuffer(base64.b64decode(data), np.uint8)
+        return cv2.imdecode(
+            arr, cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR)
+
+    def style_prepare(self, payload: Dict) -> Dict:
+        """Detect + auto-tag; return EDITABLE per-instance masks and
+        prompts (plus the patch-filled background) for the style tab's
+        per-instance rows. Everything round-trips through /style_apply
+        so the user can repaint with edited masks/prompts."""
+        import shutil
+        import tempfile
+        if self.segmentor is None:
+            raise ValueError('no segmentor configured '
+                             '(serve(..., segmentor=...))')
+        import base64
+        raw = base64.b64decode(payload['image'])
+        import cv2
+        img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                           cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError('could not decode image')
+        tmp = tempfile.mkdtemp(prefix='style_web_')
+        try:
+            editor = self._style_editor(payload, tmp)
+            prep = editor.prepare(img, 'web')
+            if prep is None:
+                return {'instances': [],
+                        'note': 'no instances detected'}
+            bg_rgb, mask_fg, masks, fg_prompts, bg_prompt, img_rgb = prep
+            return {
+                'image': self._b64png(img_rgb[..., ::-1]),
+                'bg': self._b64png(bg_rgb[..., ::-1]),
+                'mask_fg': self._b64png(mask_fg),
+                'bg_prompt': bg_prompt,
+                'instances': [
+                    {'mask': self._b64png(m), 'prompt': p}
+                    for m, p in zip(masks, fg_prompts)],
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def style_apply(self, payload: Dict) -> Dict:
+        """Repaint with (possibly user-edited) per-instance masks and
+        prompts from /style_prepare. payload: image/bg/mask_fg (b64
+        from prepare, image+bg BGR-encoded PNGs at long_side),
+        instances: [{mask: b64, prompt}], bg_prompt, + the same sd
+        knobs as /style."""
+        import base64
+        import shutil
+        import tempfile
+        img_bgr = self._unb64(payload['image'])
+        bg_bgr = self._unb64(payload['bg'])
+        mask_fg = self._unb64(payload['mask_fg'], gray=True)
+        masks = [self._unb64(i['mask'], gray=True)
+                 for i in payload.get('instances', [])]
+        prompts = [i.get('prompt', '')
+                   for i in payload.get('instances', [])]
+        tmp = tempfile.mkdtemp(prefix='style_web_')
+        try:
+            editor = self._style_editor(payload, tmp)
+            saved = editor.repaint_prepared(
+                img_bgr[..., ::-1], bg_bgr[..., ::-1], mask_fg, masks,
+                prompts, payload.get('bg_prompt', ''), 'web')
+            if not saved:
+                return {'image': None, 'outputs': 0}
+            import cv2
+            out = cv2.imread(saved[-1])
+            ok, enc = cv2.imencode('.png', out)
+            return {'image': base64.b64encode(enc.tobytes()).decode(),
+                    'outputs': len(saved)}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def result_video(self) -> bytes:
         """Full render with inpainting → mp4 bytes."""
         import tempfile
         import os
         from ..pipeline import write_video
         with self.lock:
+            # inpaint only when /step_inpaint hasn't already added the
+            # passes for the current boxes into the stored state
+            # (process_kenburns does not return its state, so the flag
+            # is only set by step_inpaint, which stores it)
             frames = self.pipe.process_kenburns(
-                self.state, self.obj_from, self.obj_to)
+                self.state, self.obj_from, self.obj_to,
+                inpaint=not self.inpainted)
         with tempfile.NamedTemporaryFile(suffix='.mp4',
                                          delete=False) as f:
             path = f.name
@@ -303,6 +490,14 @@ def make_handler(service: KenBurnsService):
                     self._json({'ok': True})
                 elif path == '/style':
                     self._json(service.style(json.loads(body or b'{}')))
+                elif path == '/style_prepare':
+                    self._json(service.style_prepare(
+                        json.loads(body or b'{}')))
+                elif path == '/style_apply':
+                    self._json(service.style_apply(
+                        json.loads(body or b'{}')))
+                elif path == '/step_inpaint':
+                    self._json(service.step_inpaint())
                 elif path == '/update_mode':
                     service.set_mode(
                         json.loads(body or b'{}').get('mode',
@@ -346,6 +541,15 @@ def make_handler(service: KenBurnsService):
                             pass            # client went away
                 elif parsed.path == '/get_result':
                     self._send(200, service.result_video(), 'video/mp4')
+                elif parsed.path == '/stages':
+                    self._json({'stages': service.stage_list()})
+                elif parsed.path == '/stage':
+                    name = q.get('name', [''])[0]
+                    self._send(200, service.stage_image(name),
+                               'image/jpeg')
+                elif parsed.path == '/autozoom_preview':
+                    self._send(200, service.autozoom_preview(),
+                               'image/jpeg')
                 elif parsed.path == '/health':
                     cfg = service.pipe.cfg
                     self._json({'ok': True,

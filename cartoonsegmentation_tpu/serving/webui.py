@@ -1,17 +1,25 @@
 """Browser UI for the interactive server — the TPU-native stand-in
-for the reference's gradio Web_UI (Web_UI/app.py + Components) and
-naive_interface.html, with zero extra dependencies: one embedded
+for the reference's gradio Web_UI (Web_UI/Launcher.py + Component/*)
+and naive_interface.html, with zero extra dependencies: one embedded
 HTML/JS page served by the stdlib HTTP server (serving/interface.py).
 
 Tabs:
 - Ken Burns: upload → autozoom preview, live scrubber over /get_live,
-  editable from/to crop boxes (/update_from, /update_to), result
-  download (/get_result).
+  editable from/to crop boxes (/update_from, /update_to), PER-STAGE
+  STEPPING (the reference's stepping-demonstration tab,
+  Web_UI/Component/Component_AIS.py:493-787: step through input →
+  instances → coarse/adjusted/refined depth → inpainted cloud
+  previews via /stages, /stage, /step_inpaint, /autozoom_preview),
+  result download (/get_result).
 - Segmentation: upload → /segment returns detected instances (JSON)
   and a mask-overlay JPEG rendered server-side.
-- Style: per-instance repaint through a running sd-webui server —
-  upload + prompts → /style (the reference capability lives in
-  Web_UI/Component_Style_Editing.py:1345-2219).
+- Style: per-instance repaint through a running sd-webui server.
+  "Prepare" (/style_prepare) detects instances and auto-tags them;
+  each instance gets an editable row — prompt text, include toggle,
+  and a paintable mask canvas (add/erase) — then "Repaint edited"
+  (/style_apply) repaints with the edits (the reference's editable
+  per-instance interaction lives in
+  Web_UI/Component/Component_Style_Editing.py:1345-2219).
 """
 from __future__ import annotations
 
@@ -24,10 +32,19 @@ PAGE_HTML = """<!doctype html>
  .tabs button.on{background:#4a6fa5} .pane{display:none;margin-top:1em}
  .pane.on{display:block} img{max-width:100%;border:1px solid #333}
  input[type=number]{width:5em;background:#21242a;color:#eee;border:1px
+ solid #444} input[type=text]{background:#21242a;color:#eee;border:1px
  solid #444} label{margin-right:.7em} .row{margin:.6em 0}
  #status{color:#9ad;min-height:1.2em} pre{background:#1c1f24;
  padding:.6em;overflow:auto;max-height:14em}
  a{color:#8fc1ff}
+ .stagebtn{margin:0 .2em;padding:.25em .7em;background:#2a2e36;
+ color:#ddd;border:1px solid #444;cursor:pointer}
+ .stagebtn.on{background:#4a6fa5}
+ .insrow{border:1px solid #333;padding:.5em;margin:.5em 0;
+ display:flex;gap:1em;align-items:flex-start}
+ .insrow canvas{border:1px solid #555;cursor:crosshair}
+ .insrow .meta{flex:1}
+ .brush{margin-top:.3em}
 </style></head><body>
 <h1>CartoonSegmentation&nbsp;TPU</h1>
 <div class="tabs">
@@ -65,7 +82,15 @@ PAGE_HTML = """<!doctype html>
   <label>cy <input type="number" id="t_cy"></label>
   <label>w <input type="number" id="t_w"></label>
   <label>h <input type="number" id="t_h"></label>
-  <button onclick="kbUpdate()">apply</button></div>
+  <button onclick="kbUpdate()">apply</button>
+  <button onclick="azPreview()">autozoom preview</button></div>
+ <div class="row" id="kb_steps" style="display:none">
+  <b>stepping:</b>
+  <button class="stagebtn" onclick="stepPrev()">&#9664; prev</button>
+  <button class="stagebtn" onclick="stepNext()">next &#9654;</button>
+  <span id="kb_stagebtns"></span>
+  <button class="stagebtn" onclick="stepInpaint()">run inpaint
+   step</button></div>
  <div class="row"><img id="kb_img"></div>
 </div>
 
@@ -78,7 +103,8 @@ PAGE_HTML = """<!doctype html>
 
 <div id="pane_sty" class="pane">
  <div class="row"><input type="file" id="sty_file" accept="image/*">
-  <button onclick="styRun()">Repaint</button></div>
+  <button onclick="styPrepare()">Prepare (detect + tag)</button>
+  <button onclick="styRun()">Repaint (one-shot)</button></div>
  <div class="row">
   <label>style prompt <input id="sty_prompt" size="32"
     value="masterpiece, best quality"></label>
@@ -90,6 +116,16 @@ PAGE_HTML = """<!doctype html>
     min="0" max="1" value="0.75"></label>
   <label>steps <input type="number" id="sty_steps" value="24"></label>
  </div>
+ <div id="sty_rows" style="display:none">
+  <div class="row"><label>background prompt
+   <input id="sty_bgprompt" size="60"></label></div>
+  <div id="sty_instances"></div>
+  <div class="row">
+   <label>brush <input type="range" id="sty_brush" min="4" max="60"
+    value="18" class="brush"></label>
+   <label>erase <input type="checkbox" id="sty_erase"></label>
+   <button onclick="styApply()">Repaint edited</button></div>
+ </div>
  <div class="row"><img id="sty_img"></div>
 </div>
 
@@ -98,6 +134,9 @@ function tab(k){for(const p of ['kb','seg','sty']){
   document.getElementById('pane_'+p).classList.toggle('on', p===k);
   document.getElementById('tb_'+p).classList.toggle('on', p===k);}}
 function st(m){document.getElementById('status').textContent=m}
+
+// ---------------- Ken Burns tab -------------------------------------
+let stages=[], stageIdx=-1;
 async function kbLoad(){
   const f=document.getElementById('kb_file').files[0];
   if(!f){st('choose an image first');return}
@@ -115,7 +154,43 @@ async function kbLoad(){
       document.getElementById(p+'_w').value=bx.crop_w;
       document.getElementById(p+'_h').value=bx.crop_h;}}
   document.getElementById('kb_dl').style.display='inline';
+  setStages(j.stages||[]);
   kbLive();}
+function setStages(names){
+  stages=names; stageIdx=-1;
+  const box=document.getElementById('kb_stagebtns');
+  box.innerHTML='';
+  for(let i=0;i<names.length;i++){
+    const b=document.createElement('button');
+    b.className='stagebtn'; b.textContent=names[i];
+    b.id='stg_'+i; b.onclick=()=>showStage(i);
+    box.appendChild(b);}
+  document.getElementById('kb_steps').style.display=
+    names.length?'block':'none';}
+function showStage(i){
+  stageIdx=i;
+  for(let k=0;k<stages.length;k++)
+    document.getElementById('stg_'+k).classList.toggle('on',k===i);
+  st('stage: '+stages[i]);
+  document.getElementById('kb_img').src=
+    '/stage?name='+encodeURIComponent(stages[i])+'&_='+Date.now();}
+function stepNext(){if(stages.length)
+  showStage(Math.min(stageIdx+1,stages.length-1))}
+function stepPrev(){if(stages.length)
+  showStage(Math.max(stageIdx-1,0))}
+async function stepInpaint(){
+  st('running inpaint passes...');
+  const r=await fetch('/step_inpaint',{method:'POST',body:'{}'});
+  const j=await r.json();
+  if(j.error){st('error: '+j.error);return}
+  st('inpaint passes done');
+  setStages(j.stages||[]);
+  const k=stages.findIndex(s=>s.startsWith('inpainted'));
+  if(k>=0)showStage(k);}
+function azPreview(){
+  st('autozoom crop preview');
+  document.getElementById('kb_img').src=
+    '/autozoom_preview?_='+Date.now();}
 function kbLive(){
   const t=document.getElementById('kb_t').value;
   document.getElementById('kb_img').src='/get_live?fltTime='+t+
@@ -137,6 +212,8 @@ async function kbUpdate(){
       crop_h:+document.getElementById(p+'_h').value};
     await fetch(ep,{method:'POST',body:JSON.stringify(box)});}
   st('crop boxes updated'); kbLive();}
+
+// ---------------- Segmentation tab ----------------------------------
 async function segRun(){
   const f=document.getElementById('seg_file').files[0];
   if(!f){st('choose an image first');return}
@@ -151,16 +228,122 @@ async function segRun(){
     'data:image/jpeg;base64,'+j.overlay;}
 function b64(file){return new Promise(res=>{const r=new FileReader();
   r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(file);})}
+function sdPayload(){
+  return {style_prompt:document.getElementById('sty_prompt').value,
+    global_nprompt:document.getElementById('sty_nprompt').value,
+    url:document.getElementById('sty_url').value,
+    denoising_strength:+document.getElementById('sty_den').value,
+    steps:+document.getElementById('sty_steps').value};}
+
+// ---------------- Style tab: per-instance editing -------------------
+// prep = server /style_prepare response; each instance row keeps its
+// FULL-RES mask in an offscreen canvas the user paints on (white=
+// repaint region), displayed composited over the image.
+let prep=null, rows=[];
+async function styPrepare(){
+  const f=document.getElementById('sty_file').files[0];
+  if(!f){st('choose an image first');return}
+  st('detecting + tagging...');
+  const payload=Object.assign({image:await b64(f)},sdPayload());
+  const r=await fetch('/style_prepare',{method:'POST',
+    body:JSON.stringify(payload)});
+  const j=await r.json();
+  if(j.error){st('error: '+j.error);return}
+  if(!j.instances.length){st(j.note||'no instances');return}
+  prep=j; rows=[];
+  document.getElementById('sty_bgprompt').value=j.bg_prompt||'';
+  const box=document.getElementById('sty_instances');
+  box.innerHTML='';
+  const img=new Image();
+  img.onload=()=>{
+    for(let i=0;i<j.instances.length;i++)
+      box.appendChild(makeRow(i,img,j.instances[i]));
+    document.getElementById('sty_rows').style.display='block';
+    st(j.instances.length+' instance(s) — edit masks/prompts, then '+
+       'Repaint edited');};
+  img.src='data:image/png;base64,'+j.image;}
+function makeRow(i,img,ins){
+  const row=document.createElement('div'); row.className='insrow';
+  // full-res offscreen mask canvas
+  const full=document.createElement('canvas');
+  full.width=img.width; full.height=img.height;
+  const fctx=full.getContext('2d');
+  const mimg=new Image();
+  const disp=document.createElement('canvas');
+  const scale=Math.min(1, 360/img.width);
+  disp.width=Math.round(img.width*scale);
+  disp.height=Math.round(img.height*scale);
+  const dctx=disp.getContext('2d');
+  function redraw(){
+    dctx.clearRect(0,0,disp.width,disp.height);
+    dctx.drawImage(img,0,0,disp.width,disp.height);
+    dctx.globalAlpha=0.5;
+    dctx.drawImage(full,0,0,disp.width,disp.height);
+    dctx.globalAlpha=1.0;}
+  mimg.onload=()=>{
+    // tint the mask red for display; full canvas stays white-on-black
+    fctx.drawImage(mimg,0,0);
+    redraw();};
+  mimg.src='data:image/png;base64,'+ins.mask;
+  let painting=false;
+  function paint(e){
+    const rect=disp.getBoundingClientRect();
+    const x=(e.clientX-rect.left)/scale, y=(e.clientY-rect.top)/scale;
+    const r=+document.getElementById('sty_brush').value;
+    const erase=document.getElementById('sty_erase').checked;
+    fctx.globalCompositeOperation=erase?'destination-out':'source-over';
+    fctx.fillStyle='#fff';
+    fctx.beginPath(); fctx.arc(x,y,r,0,6.2832); fctx.fill();
+    fctx.globalCompositeOperation='source-over';
+    redraw();}
+  disp.onmousedown=e=>{painting=true;paint(e)};
+  disp.onmousemove=e=>{if(painting)paint(e)};
+  disp.onmouseup=()=>painting=false;
+  disp.onmouseleave=()=>painting=false;
+  const meta=document.createElement('div'); meta.className='meta';
+  meta.innerHTML='<label><input type="checkbox" id="ins_on_'+i+
+    '" checked> instance '+i+'</label><br>'+
+    '<textarea id="ins_p_'+i+'" rows="4" style="width:95%;'+
+    'background:#21242a;color:#eee;border:1px solid #444"></textarea>';
+  row.appendChild(disp); row.appendChild(meta);
+  setTimeout(()=>{document.getElementById('ins_p_'+i).value=
+    ins.prompt||'';},0);
+  rows.push({full:full,idx:i});
+  return row;}
+function maskB64(full){
+  // export the painted full-res canvas as a grayscale mask png:
+  // alpha>0 -> 255 (the server thresholds >127)
+  const c=document.createElement('canvas');
+  c.width=full.width; c.height=full.height;
+  const ctx=c.getContext('2d');
+  ctx.fillStyle='#000'; ctx.fillRect(0,0,c.width,c.height);
+  ctx.drawImage(full,0,0);
+  return c.toDataURL('image/png').split(',')[1];}
+async function styApply(){
+  if(!prep){st('run Prepare first');return}
+  st('repainting with edited masks/prompts...');
+  const instances=[];
+  for(const r of rows){
+    if(!document.getElementById('ins_on_'+r.idx).checked)continue;
+    instances.push({mask:maskB64(r.full),
+      prompt:document.getElementById('ins_p_'+r.idx).value});}
+  const payload=Object.assign({image:prep.image,bg:prep.bg,
+    mask_fg:prep.mask_fg,instances:instances,
+    bg_prompt:document.getElementById('sty_bgprompt').value},
+    sdPayload());
+  const r=await fetch('/style_apply',{method:'POST',
+    body:JSON.stringify(payload)});
+  const j=await r.json();
+  if(j.error){st('error: '+j.error);return}
+  if(!j.image){st('no output');return}
+  st('repainted ('+j.outputs+' output[s])');
+  document.getElementById('sty_img').src=
+    'data:image/png;base64,'+j.image;}
 async function styRun(){
   const f=document.getElementById('sty_file').files[0];
   if(!f){st('choose an image first');return}
   st('repainting (needs a running sd-webui)...');
-  const payload={image:await b64(f),
-    style_prompt:document.getElementById('sty_prompt').value,
-    global_nprompt:document.getElementById('sty_nprompt').value,
-    url:document.getElementById('sty_url').value,
-    denoising_strength:+document.getElementById('sty_den').value,
-    steps:+document.getElementById('sty_steps').value};
+  const payload=Object.assign({image:await b64(f)},sdPayload());
   const r=await fetch('/style',{method:'POST',
     body:JSON.stringify(payload)});
   const j=await r.json();

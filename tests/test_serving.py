@@ -211,6 +211,137 @@ def test_mjpeg_live_stream(rng):
         srv.shutdown()
 
 
+def test_stepping_routes(rng):
+    """Per-stage stepping (reference stepping-demonstration tab,
+    Web_UI/Component/Component_AIS.py:493-787): /stages lists the
+    recorded intermediates, /stage serves each preview,
+    /autozoom_preview draws the camera crop boxes, /step_inpaint runs
+    the inpaint passes and keeps the state for /get_result."""
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         point_capacity_factor=1.2, depth_est='default',
+                         playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    srv = serve(pipe, '127.0.0.1', 0, block=False)
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        meta = requests.post(f'{base}/load_image',
+                             data=enc.tobytes()).json()
+        names = requests.get(f'{base}/stages').json()['stages']
+        assert meta['stages'] == names
+        for needle in ('input', 'depth_coarse', 'depth_adjusted',
+                       'depth_final'):
+            assert needle in names, names
+
+        r = requests.get(f'{base}/stage?name=depth_final')
+        assert r.status_code == 200
+        im = cv2.imdecode(np.frombuffer(r.content, np.uint8),
+                          cv2.IMREAD_COLOR)
+        assert im.shape == (40, 48, 3)
+        # unknown stage → clean error
+        r = requests.get(f'{base}/stage?name=nope')
+        assert r.status_code == 500 and 'no stage' in r.json()['error']
+
+        r = requests.get(f'{base}/autozoom_preview')
+        im = cv2.imdecode(np.frombuffer(r.content, np.uint8),
+                          cv2.IMREAD_COLOR)
+        assert im is not None and im.shape == (40, 48, 3)
+
+        out = requests.post(f'{base}/step_inpaint', data=b'{}').json()
+        assert out['ok'] is True
+        assert any(s.startswith('inpainted_') for s in out['stages'])
+        assert srv.service.inpainted is True
+        r = requests.get(f'{base}/stage?name=' + next(
+            s for s in out['stages'] if s.startswith('inpainted_')))
+        assert r.status_code == 200
+
+        # result reuses the inpainted state; box update invalidates
+        r = requests.get(f'{base}/get_result')
+        assert r.status_code == 200 and len(r.content) > 0
+        requests.post(f'{base}/update_to',
+                      data=json.dumps({'center_u': 30.0}))
+        assert srv.service.inpainted is False
+    finally:
+        srv.shutdown()
+
+
+def test_style_prepare_apply(rng):
+    """Per-instance style editing round-trip (reference interaction:
+    Web_UI/Component/Component_Style_Editing.py:1345-2219):
+    /style_prepare returns editable per-instance masks + prompts;
+    /style_apply repaints with the (edited) rows."""
+    import base64
+    from test_style_and_fill import _FakeSD, _serve
+    from cartoonsegmentation_tpu.instances import Instances
+
+    class FakeDetector:
+        def infer(self, img, *a, **k):
+            h, w = img.shape[:2]
+            m = np.zeros((h, w), bool)
+            m[h // 4: h // 2, w // 4: w // 2] = True
+            return Instances.from_numpy(
+                m[None], np.array([[w // 4, h // 4, w // 4, h // 4]],
+                                  np.float32), capacity=2)
+
+    _FakeSD.calls.clear()
+    sd = _serve()
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    srv = serve(pipe, '127.0.0.1', 0, block=False,
+                segmentor=FakeDetector())
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        # the page ships the editing UI
+        r = requests.get(f'{base}/')
+        for needle in ('/style_prepare', '/style_apply', 'styApply',
+                       'makeRow', '/step_inpaint', 'autozoom_preview'):
+            assert needle in r.text, needle
+
+        img = (rng.rand(80, 64, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        payload = {
+            'image': base64.b64encode(enc.tobytes()).decode(),
+            'style_prompt': 'pixar style', 'long_side': 64,
+            'steps': 2,
+            'url': f'http://127.0.0.1:{sd.server_port}'
+                   '/sdapi/v1/img2img',
+        }
+        prep = requests.post(f'{base}/style_prepare',
+                             data=json.dumps(payload)).json()
+        assert len(prep['instances']) == 1
+        mask = cv2.imdecode(np.frombuffer(
+            base64.b64decode(prep['instances'][0]['mask']), np.uint8),
+            cv2.IMREAD_GRAYSCALE)
+        assert mask.max() == 255 and mask.min() == 0
+
+        # user edits: change the instance prompt, keep the mask
+        apply_payload = dict(payload)
+        apply_payload.update({
+            'image': prep['image'], 'bg': prep['bg'],
+            'mask_fg': prep['mask_fg'],
+            'bg_prompt': 'edited background tags',
+            'instances': [{'mask': prep['instances'][0]['mask'],
+                           'prompt': 'edited instance tags'}],
+        })
+        out = requests.post(f'{base}/style_apply',
+                            data=json.dumps(apply_payload)).json()
+        assert out.get('error') is None, out
+        assert out['outputs'] == 1
+        dec = cv2.imdecode(np.frombuffer(
+            base64.b64decode(out['image']), np.uint8),
+            cv2.IMREAD_COLOR)
+        assert dec is not None and dec.shape[-1] == 3
+        # bg repaint + the edited instance inpaint hit the sd server,
+        # with the EDITED prompts
+        assert len(_FakeSD.calls) == 2
+        assert 'edited instance tags' in _FakeSD.calls[1]['prompt']
+    finally:
+        srv.shutdown()
+        sd.shutdown()
+
+
 def test_config_marigold_rebuild():
     """Changing a marigold_* knob through set_config must rebuild the
     estimator from the new cfg while transferring loaded weights
