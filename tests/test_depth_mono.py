@@ -163,3 +163,75 @@ def test_zoe_train_step_decreases(nyu_dir):
     assert not np.allclose(
         np.asarray(state.params['core']['kernel']),
         np.asarray(variables['params']['core']['kernel']))
+
+
+@pytest.mark.slow
+def test_zoe_train_to_eval_closure(tmp_path, rng):
+    """Train→eval closure for the depth stack (the depth-side sibling
+    of tests/test_train_map_closure.py): a brightness-coded synthetic
+    set trained through the REAL trainer (make_zoe_train_step: SILog
+    loss, align-corners half-res upsample, zoe_optimizer one-cycle
+    with backbone lr/10) must score well through the REAL
+    evaluate_depth protocol (validity mask, clamp, resolution-mismatch
+    upsample). A scaling seam (mm-vs-m decode, resize order, mask
+    polarity) would train fine and still score ~0 a1 here.
+    Reference recipe: zoedepth/trainers/zoedepth_trainer.py +
+    utils/misc.py compute_errors."""
+    import cv2
+    img_dir = tmp_path / 'rgb'
+    dep_dir = tmp_path / 'gt'
+    img_dir.mkdir()
+    dep_dir.mkdir()
+    lines = []
+    for i in range(6):
+        # smooth image (upsampled low-res noise) so the half-res
+        # model can represent the pointwise brightness→depth map
+        low = rng.rand(6, 8, 3).astype(np.float32)
+        img = cv2.resize(low, (64, 48), interpolation=cv2.INTER_LINEAR)
+        gray = img.mean(-1)
+        depth_m = 0.8 + 3.0 * gray            # meters, in [0.8, 3.8]
+        cv2.imwrite(str(img_dir / f'{i}.png'),
+                    (img * 255).astype(np.uint8))
+        cv2.imwrite(str(dep_dir / f'{i}.png'),
+                    (depth_m * 1000).astype(np.uint16))   # nyu mm
+        lines.append(f'{i}.png {i}.png 518.8')
+    split = tmp_path / 'train.txt'
+    split.write_text('\n'.join(lines) + '\n')
+
+    src = MonoDepthSource(str(img_dir), str(dep_dir), str(split),
+                          dataset='nyu')
+    loader = MonoDepthTrainLoader(src, batch_size=3, input_hw=(48, 64),
+                                  seed=0, do_random_rotate=False)
+    model = _HalfResStub()
+    params0 = model.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 48, 64, 3)))['params']
+    total = 400
+    tx = zoe_optimizer(lr=3e-2, warmup_steps=20, total_steps=total)
+    state = SimpleState(params0, tx.init(params0),
+                        jnp.zeros((), jnp.int32))
+    step = make_zoe_train_step(model, tx)
+
+    def predict(params):
+        def fn(im):
+            out = model.apply({'params': params},
+                              jnp.asarray(im, jnp.float32)[None])
+            return np.asarray(out['metric_depth'])[0, ..., 0]
+        return fn
+
+    before = evaluate_depth(predict(params0), src, eigen_crop=False)
+    it = iter(loader.epoch(0))
+    epoch = 0
+    for _ in range(total):
+        try:
+            batch = next(it)
+        except StopIteration:
+            epoch += 1
+            it = iter(loader.epoch(epoch))
+            batch = next(it)
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics['loss']))
+    after = evaluate_depth(predict(state.params), src,
+                           eigen_crop=False)
+    assert after['abs_rel'] < 0.10, (before, after)
+    assert after['a1'] > 0.9, (before, after)
+    assert after['abs_rel'] < before['abs_rel']
