@@ -7,6 +7,7 @@ is evaluated as one vmapped coverage program on device.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -82,14 +83,35 @@ def autozoom(points: jnp.ndarray, drange: DepthRange, int_width: int,
     Returns (best_u, best_v, crop_w_to, crop_h_to) with best_* as
     device scalars. Parity: common.py:86-141 + kenburns_effect.py:
     953-967 (objFrom construction).
+
+    The search itself is a jitted function taking ``points`` and the
+    camera floats as ARGUMENTS — run eagerly, lax.map would close
+    over the concrete point cloud and bake it into the trace as a
+    literal, recompiling the 256-candidate program for every new
+    image (~19 s/clip on the TPU tunnel, measured r3).
     """
     import math
     crop_w_from = int(math.floor(crop_ratio * int_width))
     crop_h_from = int(math.floor(crop_ratio * int_height))
-    center_u = int_width / 2.0
-    center_v = int_height / 2.0
     crop_w = crop_w_from / flt_zoom
     crop_h = crop_h_from / flt_zoom
+    best_u, best_v = _autozoom_search(
+        points, drange, int_width, int_height,
+        jnp.float32(focal), jnp.float32(baseline),
+        jnp.float32(flt_shift), jnp.float32(crop_w),
+        jnp.float32(crop_h), jnp.float32(crop_w_from), grid)
+    crop_w_to = int(round(crop_w_from / flt_zoom))
+    crop_h_to = int(round(crop_h_from / flt_zoom))
+    return best_u, best_v, crop_w_to, crop_h_to
+
+
+@partial(jax.jit,
+         static_argnames=('int_width', 'int_height', 'grid'))
+def _autozoom_search(points, drange, int_width: int, int_height: int,
+                     focal, baseline, flt_shift, crop_w, crop_h,
+                     crop_w_from, grid: int):
+    center_u = int_width / 2.0
+    center_v = int_height / 2.0
 
     su = jnp.linspace(-flt_shift, flt_shift, grid)
     sv = jnp.linspace(-flt_shift, flt_shift, grid)
@@ -129,6 +151,4 @@ def autozoom(points: jnp.ndarray, drange: DepthRange, int_width: int,
     any_ok = jnp.any(ok)
     best_u = jnp.where(any_ok, cand_u[best], 0.0)
     best_v = jnp.where(any_ok, cand_v[best], 0.0)
-    crop_w_to = int(round(crop_w_from / flt_zoom))
-    crop_h_to = int(round(crop_h_from / flt_zoom))
-    return best_u, best_v, crop_w_to, crop_h_to
+    return best_u, best_v
