@@ -152,9 +152,12 @@ def main() -> None:
           two scan lengths with identical transfers;
         - XLA could hoist a repeated forward out of the scan → each
           step's input is chained to the previous step's output.
-        The inclusive figure is a lower bound on real throughput; the
-        differenced figure is discarded if timing noise makes it
-        unphysical (> 200 TFLOP/s ≈ v5e bf16 peak).
+        The inclusive figure is a lower bound on real throughput and
+        is what gets REPORTED; the differenced compute-only estimate
+        is returned separately and discarded when timing noise makes
+        it unphysical (> 25 TFLOP/s — 2x the best sustained matmul
+        rate ever measured through this tunnel; the chip is
+        virtualized/time-sliced well below v5e paper peak).
         """
         seg = AnimeInsSeg(det_size=640, dtype=dtype)
         x, _, _ = seg._preprocess(img)
@@ -206,24 +209,26 @@ def main() -> None:
             diffs.append(tb - ta)
         fps_incl = l2 * batch / min(t2s)
         flops_per_img = flops / l2 / batch if flops else None
-        fps = fps_incl
+        fps_diff = None
         dt = float(np.median(diffs))
         if dt > 0.01:
-            fps_diff = (l2 - l1) * batch / dt
-            if (flops_per_img is None
-                    or fps_diff * flops_per_img < 200e12):
-                fps = max(fps_incl, fps_diff)
-        tflops = fps * flops_per_img / 1e12 if flops_per_img else None
-        return fps, tflops
+            cand = (l2 - l1) * batch / dt
+            if (flops_per_img is not None
+                    and cand * flops_per_img < 25e12):
+                fps_diff = cand
+        best = max(fps_incl, fps_diff or 0.0)
+        tflops = best * flops_per_img / 1e12 if flops_per_img else None
+        return fps_incl, fps_diff, tflops
 
-    det_fps_f32, _ = det_bench(None)
+    det_fps_f32, det_co_f32, _ = det_bench(None)
     try:
-        det_fps_bf16, _ = det_bench('bfloat16')
+        det_fps_bf16, det_co_bf16, _ = det_bench('bfloat16')
     except Exception:
-        det_fps_bf16 = None
+        det_fps_bf16 = det_co_bf16 = None
     # throughput-bound: DP batch on one chip (pipeline/segment.py
     # infer_batch is the multi-chip path; the forward itself batches)
-    det_fps_b16, det_tflops_b16 = det_bench('bfloat16', batch=16)
+    det_fps_b16, det_co_b16, det_tflops_b16 = det_bench(
+        'bfloat16', batch=16)
 
     result = {
         'metric': 'kenburns_render_fps_1024_default',
@@ -244,6 +249,11 @@ def main() -> None:
             'detector_fwd_fps_640_bf16':
                 round(det_fps_bf16, 2) if det_fps_bf16 else None,
             'detector_fwd_fps_640_bf16_b16': round(det_fps_b16, 2),
+            'detector_computeonly_fps': {
+                k: round(v, 2) if v else None
+                for k, v in (('f32', det_co_f32),
+                             ('bf16', det_co_bf16),
+                             ('bf16_b16', det_co_b16))},
             'detector_b16_tflops':
                 round(det_tflops_b16, 2) if det_tflops_b16 else None,
             'clip_wall_s': round(clip_wall_s, 3),

@@ -583,10 +583,15 @@ class KenBurnsPipeline:
             'crop_w': int(math.floor(cfg.crop_ratio * W)),
             'crop_h': int(math.floor(cfg.crop_ratio * H)),
         }
-        best_u, best_v, crop_w_to, crop_h_to = autozoom(
-            state.raw_points, state.depth_range, W, H, cfg.focal,
-            cfg.baseline, cfg.autozoom_shift, cfg.autozoom_zoom,
-            cfg.crop_ratio)
+        # block inside the timer so it reads true device time
+        # (StageTimer sections elsewhere end with a device_get for
+        # the same reason)
+        with self.timer.time('autozoom'):
+            best_u, best_v, crop_w_to, crop_h_to = autozoom(
+                state.raw_points, state.depth_range, W, H, cfg.focal,
+                cfg.baseline, cfg.autozoom_shift, cfg.autozoom_zoom,
+                cfg.crop_ratio)
+            best_u, best_v = jax.block_until_ready((best_u, best_v))
         obj_to = {
             'center_u': obj_from['center_u'] + float(best_u),
             'center_v': obj_from['center_v'] + float(best_v),
