@@ -68,6 +68,30 @@ def test_kenburns_end_to_end_tiny(rng):
     assert frames[0].mean() > 1.0
 
 
+def test_kenburns_run_video_path(rng, tmp_path):
+    """KenBurnsPipeline.run with a video path — the flagship
+    image→mp4 route bench.py's clip_wall_s times (generate_state →
+    autozoom → inpaint passes → compact → streaming render+encode).
+    Parity: the whole of reference run_kenburns.py:19-41."""
+    import cv2
+    cfg = KenBurnsConfig(max_size=64, num_frame=4, depth_field=False,
+                         point_capacity_factor=1.5,
+                         discfill_max_steps=16, playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    path = str(tmp_path / 'clip.mp4')
+    frames = pipe.run(img, video_path=path)
+    assert frames.shape == (4, 48, 64, 3)
+    assert frames.dtype == np.uint8
+    assert frames[0].mean() > 1.0
+    cap = cv2.VideoCapture(path)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+    cap.release()
+    # inpaint+render stages were actually timed
+    assert pipe.timer.seconds.get('inpaint_passes', 0) > 0
+    assert pipe.timer.seconds.get('render_stream+encode', 0) > 0
+
+
 def test_kenburns_depth_field_path(rng):
     cfg = KenBurnsConfig(max_size=48, num_frame=2, depth_field=True,
                          dof_num_samples=8, point_capacity_factor=1.2,
