@@ -134,9 +134,10 @@ def _pass_table(dx: float, dy: float, H: int, W: int,
     coefficients (m = 1..S/2) and the exact-f32 map
     cell -> (positive-side m list, negative-side m list).
 
-    The device samples are sp = (s - S/2)*im_size for s = 0..S-1:
-    negative side m = 1..S/2, positive side m = 1..S/2-1, plus the
-    center sp = 0 (always offset (0,0)). f32(dx * -m*im_size) is the
+    The device samples are sp = (s - S//2)*im_size for s = 0..S-1:
+    negative side m = 1..S//2, positive side m = 1..S-S//2-1 (equal
+    to S//2-1 for even S, S//2 for odd S), plus the center sp = 0
+    (always offset (0,0)). f32(dx * -m*im_size) is the
     exact negation of f32(dx * m*im_size) (IEEE negation commutes
     with rounding), so one set of positive-side offset codes B_m
     serves both sides: positive samples land on cell B_m, negative
@@ -152,7 +153,7 @@ def _pass_table(dx: float, dy: float, H: int, W: int,
     for m in range(1, offset + 1):
         for cell in _sample_pairs(dxm[m - 1], dym[m - 1], max_weight):
             e = table.setdefault(cell, ([], []))
-            if m <= offset - 1:
+            if m <= num_samples - offset - 1:
                 e[0].append(m)
             e[1].append(m)
     span = 1 + max((max(abs(kx), abs(ky)) for kx, ky in table), default=0)

@@ -177,6 +177,11 @@ class KenBurnsPipeline:
                 instances = self._detector.infer(img, cfg.pred_score_thr)
 
         img = scaledown_maxsize(img, cfg.max_size)
+        # fresh image: drop the previous image's stage previews — the
+        # inpainted_N entries are keyed by cloud count and would both
+        # leak (one full-res frame each) and show up as stale steps in
+        # the serving stage list
+        self.stages.clear()
         self.stages['input'] = np.ascontiguousarray(img)
         H, W = img.shape[:2]
         if instances is None:
@@ -1017,6 +1022,21 @@ class KenBurnsPipeline:
         return self._jit_cache[key]
 
     # -- orchestration -----------------------------------------------------
+    def inpaint_extremes(self, state: KenBurnsState, obj_from: Dict,
+                         obj_to: Dict) -> KenBurnsState:
+        """The inpaint protocol of the flagship path: one inpaint pass
+        at each camera extreme (t = 0, 1 — kenburns_effect.py:990-1012
+        pre-passes), then compact the grown cloud to a snug capacity.
+        Shared by process_kenburns, run() and the serving stepping
+        route so the pass schedule lives in exactly one place."""
+        with self.timer.time('inpaint_passes'):
+            for t in (0.0, 1.0):
+                su, sv, ds, _, _ = self._camera_params(
+                    t, obj_from, obj_to, state)
+                state = self.inpaint_pass(state, su, sv, ds)
+            jax.block_until_ready(state.cloud.points)
+        return self.compact_state(state)
+
     def process_kenburns(self, state: KenBurnsState, obj_from: Dict,
                          obj_to: Dict, steps=None, inpaint: bool = True,
                          return_device: bool = False,
@@ -1025,13 +1045,9 @@ class KenBurnsPipeline:
         if steps is None:
             steps = np.linspace(0.0, 1.0, cfg.num_frame)
         if inpaint:
-            with self.timer.time('inpaint_passes'):
-                for t in (0.0, 1.0):
-                    su, sv, ds, _, _ = self._camera_params(
-                        t, obj_from, obj_to, state)
-                    state = self.inpaint_pass(state, su, sv, ds)
-                jax.block_until_ready(state.cloud.points)
-        state = self.compact_state(state)
+            state = self.inpaint_extremes(state, obj_from, obj_to)
+        else:
+            state = self.compact_state(state)
         with self.timer.time('render_frames'):
             frames = self.render_frames(state, obj_from, obj_to, steps,
                                         return_device=True, mesh=mesh)
@@ -1065,13 +1081,7 @@ class KenBurnsPipeline:
             # inpaint+compact as in process_kenburns, then the
             # streaming renderer: chunk k's device→host I420 copy and
             # mp4 encode overlap chunk k+1's render
-            with self.timer.time('inpaint_passes'):
-                for t in (0.0, 1.0):
-                    su, sv, ds, _, _ = self._camera_params(
-                        t, obj_from, obj_to, state)
-                    state = self.inpaint_pass(state, su, sv, ds)
-                jax.block_until_ready(state.cloud.points)
-            state = self.compact_state(state)
+            state = self.inpaint_extremes(state, obj_from, obj_to)
             steps = np.linspace(0.0, 1.0, self.cfg.num_frame)
             with self.timer.time('render_stream+encode'):
                 frames = self.render_frames_stream(

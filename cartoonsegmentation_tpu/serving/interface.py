@@ -32,6 +32,7 @@ class KenBurnsService:
         self.pipe = pipeline
         self.segmentor = segmentor
         self.state = None
+        self.pristine_state = None   # pre-inpaint state for box edits
         self.img: Optional[np.ndarray] = None
         self.obj_from: Optional[Dict] = None
         self.obj_to: Optional[Dict] = None
@@ -52,6 +53,7 @@ class KenBurnsService:
             raise ValueError('could not decode image')
         with self.lock:
             self.state = self.pipe.generate_state(img)
+            self.pristine_state = self.state
             self.obj_from, self.obj_to = self.pipe.autozoom(self.state)
             self.img = self.pipe.stages.get('input')
             if self.img is None:
@@ -72,8 +74,19 @@ class KenBurnsService:
     # depth, adjusted/refined depth, inpainted cloud — and previews
     # each; here generate_state records the same intermediates in
     # pipe.stages and these routes expose them one step at a time) --
+    _STAGE_ORDER = ('input', 'instances', 'depth_coarse',
+                    'depth_adjusted', 'depth_final')
+
     def stage_list(self):
-        return sorted(self.pipe.stages.keys())
+        """Stage names in PIPELINE order (input → instances → depth
+        stages → inpainted clouds by growing point count) so the
+        stepping prev/next buttons walk the documented stage flow."""
+        keys = set(self.pipe.stages.keys())
+        out = [k for k in self._STAGE_ORDER if k in keys]
+        inp = sorted((k for k in keys if k.startswith('inpainted_')),
+                     key=lambda k: int(k.rsplit('_', 1)[1]))
+        rest = sorted(keys - set(out) - set(inp))
+        return out + inp + rest
 
     def stage_image(self, name: str) -> bytes:
         import cv2
@@ -117,19 +130,22 @@ class KenBurnsService:
         """Stepping tab: run the two inpaint passes on the cached
         state so the inpainted-cloud previews (stages inpainted_N)
         become available before encoding; the inpainted state is kept
-        so /get_result reuses it."""
+        so /get_result reuses it. Always starts from the PRISTINE
+        (pre-inpaint) state — the stored state may hold passes for
+        previous camera boxes, and stacking on those would leave stale
+        inpainted content in the cloud."""
         with self.lock:
             if self.state is None:
                 raise ValueError('no image loaded')
-            st = self.state
-            for t in (0.0, 1.0):
-                su, sv, ds, _, _ = self.pipe._camera_params(
-                    t, self.obj_from, self.obj_to, st)
-                st = self.pipe.inpaint_pass(st, su, sv, ds)
-            self.state = self.pipe.compact_state(st)
+            st = self.pipe.inpaint_extremes(
+                self.pristine_state, self.obj_from, self.obj_to)
+            self.state = st
             self.inpainted = True
+            self.frame_cache.clear()   # cached frames are pre-inpaint
         return {'ok': True, 'stages': self.stage_list()}
-    # everything relevant or are rebuilt via a fresh pipeline object
+
+    # keys the /config route may switch at runtime; everything else
+    # would invalidate loaded weights or needs a fresh pipeline object
     CONFIG_KEYS = ('depth_est', 'inpaint_type', 'depth_field',
                    'num_frame', 'max_size', 'discfill_mode',
                    'dof_num_samples', 'depthest_use_medium',
@@ -166,7 +182,7 @@ class KenBurnsService:
                 new._ensure_marigold().variables = \
                     old._marigold.variables
             self.pipe = new
-            self.state = None
+            self.state = self.pristine_state = None
             self.obj_from = self.obj_to = None
             self.frame_cache.clear()
         return {'ok': True, 'changed': sorted(kw)}
@@ -185,6 +201,12 @@ class KenBurnsService:
                 self.int_time = len(self.times) - 1   # ... to t=1.0
             self.frame_cache.clear()
             self.inpainted = False      # extremes moved: new passes
+            # drop inpaint points generated for the OLD extremes —
+            # /get_result would otherwise render stale content in the
+            # regions those passes filled (naive_interface.py:108-129
+            # equally re-derives everything from the pristine cloud)
+            if self.pristine_state is not None:
+                self.state = self.pristine_state
 
     def set_mode(self, mode: str) -> None:
         """Playback mode: 'automatic' advances t each streamed frame,

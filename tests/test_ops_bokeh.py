@@ -95,6 +95,32 @@ def test_bokeh_pass_bitexact_to_gather(rng):
                                    err_msg=f'{dx},{dy}')
 
 
+def test_bokeh_pass_odd_num_samples(rng):
+    """Odd S: the positive side has S//2 samples (one MORE than even
+    S's S//2-1); the counting table must credit m = 1..S-S//2-1 on
+    the positive side, or the top positive sample is silently dropped
+    (the per-pixel count sum would read S-1)."""
+    from cartoonsegmentation_tpu.ops.bokeh import (_SCALE, _pass_counts,
+                                                   _bokeh_pass_gather)
+    H, W = 24, 28
+    im_size = min(H, W)
+    img = rng.rand(H, W, 3).astype(np.float32)
+    depth = (rng.rand(H, W).astype(np.float32) * _SCALE)
+    for S in (9, 7):
+        dx, dy = math.cos(-math.pi / 6), math.sin(-math.pi / 6)
+        sp = (np.arange(S) - S // 2) * im_size
+        ox = np.round(depth[None] * (dx * sp)[:, None, None]
+                      .astype(np.float32) * 1.0)
+        counts = _pass_counts(jnp.asarray(depth), dx, dy, S, _SCALE)
+        total = sum(np.asarray(n) for n in counts.values())
+        np.testing.assert_array_equal(total, S)   # nothing dropped
+        want = np.asarray(_bokeh_pass_gather(
+            jnp.asarray(img), jnp.asarray(depth), dx, dy, num_samples=S))
+        got = np.asarray(bokeh_pass(jnp.asarray(img), jnp.asarray(depth),
+                                    dx, dy, num_samples=S))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
 def test_bokeh_core_rhom_mirror_sharing(rng):
     """_bokeh_core's rhomboid pass reuses the diagonal's count
     tensors (kx-mirrored); the result must equal composing the three

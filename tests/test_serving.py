@@ -233,6 +233,12 @@ def test_stepping_routes(rng):
         for needle in ('input', 'depth_coarse', 'depth_adjusted',
                        'depth_final'):
             assert needle in names, names
+        # pipeline order, not alphabetical: input first, then the
+        # depth stages coarse -> adjusted -> final
+        assert names.index('input') == 0
+        assert (names.index('depth_coarse')
+                < names.index('depth_adjusted')
+                < names.index('depth_final'))
 
         r = requests.get(f'{base}/stage?name=depth_final')
         assert r.status_code == 200
@@ -248,20 +254,42 @@ def test_stepping_routes(rng):
                           cv2.IMREAD_COLOR)
         assert im is not None and im.shape == (40, 48, 3)
 
+        # prime the live-frame cache, then check step_inpaint drops it
+        # (cached frames were rendered from the pre-inpaint cloud)
+        requests.get(f'{base}/get_live?fltTime=0.5')
+        assert srv.service.frame_cache
         out = requests.post(f'{base}/step_inpaint', data=b'{}').json()
         assert out['ok'] is True
         assert any(s.startswith('inpainted_') for s in out['stages'])
         assert srv.service.inpainted is True
-        r = requests.get(f'{base}/stage?name=' + next(
-            s for s in out['stages'] if s.startswith('inpainted_')))
+        assert not srv.service.frame_cache
+        # inpainted stages step AFTER the depth stages, in cloud order
+        inp = [s for s in out['stages'] if s.startswith('inpainted_')]
+        assert out['stages'].index(inp[0]) \
+            > out['stages'].index('depth_final')
+        assert inp == sorted(inp, key=lambda s: int(s.split('_')[1]))
+        r = requests.get(f'{base}/stage?name=' + inp[0])
         assert r.status_code == 200
 
         # result reuses the inpainted state; box update invalidates
+        # AND restores the pristine (pre-inpaint) cloud so the new
+        # extremes don't stack passes onto stale inpainted points
         r = requests.get(f'{base}/get_result')
         assert r.status_code == 200 and len(r.content) > 0
+        assert srv.service.state is not srv.service.pristine_state
         requests.post(f'{base}/update_to',
                       data=json.dumps({'center_u': 30.0}))
         assert srv.service.inpainted is False
+        assert srv.service.state is srv.service.pristine_state
+
+        # a fresh image resets the stage dict: no stale inpainted_N
+        # previews from the previous image may survive
+        img2 = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+        ok, enc2 = cv2.imencode('.png', img2)
+        meta2 = requests.post(f'{base}/load_image',
+                              data=enc2.tobytes()).json()
+        assert not any(s.startswith('inpainted_')
+                       for s in meta2['stages'])
     finally:
         srv.shutdown()
 
