@@ -153,9 +153,11 @@ def main() -> None:
         - identical-input executions are memoized → every timed call
           transfers a FRESHLY perturbed host array (device-resident
           perturbation has been observed to still memoize);
-        - that H2D transfer pollutes the timing (batch·4.9 MB through
-          the tunnel) → the compute-only figure is the DIFFERENCE of
-          two scan lengths with identical transfers;
+        - that H2D transfer pollutes the timing (batch·1.2 MB of
+          uint8 canvas through the tunnel — normalization happens on
+          device, pipeline/segment.py normalize_canvas) → the
+          compute-only figure is the DIFFERENCE of two scan lengths
+          with identical transfers;
         - XLA could hoist a repeated forward out of the scan → each
           step's input is chained to the previous step's output.
         The inclusive figure is a lower bound on real throughput and
@@ -166,7 +168,9 @@ def main() -> None:
         virtualized/time-sliced well below v5e paper peak).
         """
         seg = AnimeInsSeg(det_size=640, dtype=dtype)
-        x, _, _ = seg._preprocess(img)
+        from cartoonsegmentation_tpu.pipeline.segment import \
+            normalize_canvas
+        x, _, _ = seg._preprocess(img)        # uint8 canvas (1.2 MB)
         x = np.repeat(x, batch, axis=0)
         variables = seg._ensure_variables()
         l1, l2 = (4, 12) if batch == 1 else (2, 6)
@@ -180,7 +184,8 @@ def main() -> None:
                     return (xc, out[0][0].mean() * 1e-12), \
                         out[1][0].mean()
                 _, outs = jax.lax.scan(
-                    step, (x0, jnp.float32(0)), None, length=length)
+                    step, (normalize_canvas(x0), jnp.float32(0)), None,
+                    length=length)
                 return outs
             return det_scan
 
@@ -197,9 +202,11 @@ def main() -> None:
         for s in (scan1, scan2):                       # compile both
             jax.block_until_ready(s(variables, jnp.asarray(x)))
 
-        def run_once(scan, pert):
-            xi = x * (1.0 + 1e-4 * pert
-                      + float(entropy.uniform(0, 1e-4)))
+        def run_once(scan):
+            # fresh OS-entropy LSB noise per call keeps the canvas
+            # uint8 (1.2 MB H2D like the real infer() path) while
+            # still defeating the value-keyed execution memoization
+            xi = x ^ entropy.integers(0, 2, x.shape).astype(x.dtype)
             t0 = time.time()
             jax.block_until_ready(scan(variables, jnp.asarray(xi)))
             return time.time() - t0
@@ -209,8 +216,8 @@ def main() -> None:
         # forwards; the median over pairs rejects regime shifts
         diffs, t2s = [], []
         for k in range(4):
-            ta = run_once(scan1, 2 * k + 1)
-            tb = run_once(scan2, 2 * k + 2)
+            ta = run_once(scan1)
+            tb = run_once(scan2)
             t2s.append(tb)
             diffs.append(tb - ta)
         fps_incl = l2 * batch / min(t2s)

@@ -27,6 +27,17 @@ _STD = np.array([57.375, 57.12, 58.395], np.float32)
 _PAD_VAL = 114.0
 
 
+def normalize_canvas(x):
+    """(x - mean) / std on DEVICE (f32, IEEE — bit-identical to the
+    former host-numpy normalization). Keeping this inside the jitted
+    programs lets the host ship the letterboxed canvas as uint8:
+    1.2 MB over the tunnel instead of 4.9 MB of pre-normalized f32
+    per 640x640 image — the H2D transfer is a visible slice of the
+    per-image latency on this link."""
+    return (x.astype(jnp.float32) - jnp.asarray(_MEAN)) \
+        / jnp.asarray(_STD)
+
+
 class AnimeInsSeg:
     """Detector wrapper with lazy jit per input bucket.
 
@@ -71,19 +82,21 @@ class AnimeInsSeg:
 
     # ------------------------------------------------------------------
     def _preprocess(self, img_bgr: np.ndarray):
-        """Keep-ratio resize to det_size + bottom/right pad + normalize.
+        """Keep-ratio resize to det_size + bottom/right pad.
 
-        Returns (batched input, scale, (nh, nw))."""
+        Returns (batched UNNORMALIZED canvas — uint8 when the input is
+        uint8, f32 otherwise; normalize_canvas runs on device inside
+        the jitted forward — , scale, (nh, nw))."""
         import cv2
         h, w = img_bgr.shape[:2]
         scale = self.det_size / max(h, w)
         nh, nw = int(round(h * scale)), int(round(w * scale))
         resized = cv2.resize(img_bgr, (nw, nh),
                              interpolation=cv2.INTER_LINEAR)
-        canvas = np.full((self.det_size, self.det_size, 3), _PAD_VAL,
-                         np.float32)
-        canvas[:nh, :nw] = resized.astype(np.float32)
-        canvas = (canvas - _MEAN) / _STD
+        dt = np.uint8 if img_bgr.dtype == np.uint8 else np.float32
+        canvas = np.full((self.det_size, self.det_size, 3),
+                         dt(_PAD_VAL), dt)
+        canvas[:nh, :nw] = resized.astype(dt)
         return canvas[None], scale, (nh, nw)
 
     def _run_device(self, x: np.ndarray, score_thr: float):
@@ -95,7 +108,7 @@ class AnimeInsSeg:
             @jax.jit
             def fn(variables, x):
                 cls_out, reg_out, krn_out, mask_feat = self.model.apply(
-                    variables, x)
+                    variables, normalize_canvas(x))
                 return postprocess(
                     tuple(cls_out), tuple(reg_out), tuple(krn_out),
                     mask_feat, score_thr=0.0, mask_thr=mask_thr,
@@ -182,7 +195,7 @@ class AnimeInsSeg:
             @jax.jit
             def fn(variables, x):
                 cls_out, reg_out, krn_out, mask_feat = self.model.apply(
-                    variables, x)
+                    variables, normalize_canvas(x))
 
                 def post_one(args):
                     c, r, k, mf = args
@@ -253,7 +266,7 @@ class AnimeInsSeg:
             @jax.jit
             def fn(variables, x):
                 cls_out, reg_out, krn_out, mask_feat = self.model.apply(
-                    variables, x)
+                    variables, normalize_canvas(x))
                 scores, dists, kernels, priors, strides = \
                     [], [], [], [], []
                 for lv, (c, r, k) in enumerate(
