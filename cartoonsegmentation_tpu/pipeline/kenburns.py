@@ -141,16 +141,17 @@ class KenBurnsPipeline:
                 self._detector = seg
                 return
             if detector == 'sam':
-                # the reference's configs/3dkenburns_sam.yaml depends
-                # on the external segment-anything checkpoint; the
-                # box-prompt seam here is
-                # AnimeInsSeg.segment_with_bboxes — pass any callable
-                # img→Instances built on it
-                raise NotImplementedError(
-                    "detector 'sam' needs an external SAM model; "
-                    'wrap it as a callable img->Instances (see '
-                    'AnimeInsSeg.segment_with_bboxes) and pass it to '
-                    'set_detector')
+                # configs/3dkenburns_sam.yaml — AnimeInsSeg boxes
+                # re-masked by the NATIVE Flax SAM (models/sam.py; the
+                # reference shells out to the external
+                # segment_anything package, kenburns_effect.py:848-860)
+                from .sam import SamDetector
+                from .segment import AnimeInsSeg
+                seg = AnimeInsSeg(det_size=self.cfg.det_size,
+                                  mask_thr=self.cfg.mask_thr,
+                                  max_instances=self.cfg.max_instances)
+                self._detector = SamDetector(seg)
+                return
             raise NotImplementedError(f'Invalid detector: {detector}')
         self._detector = detector
 

@@ -1459,3 +1459,323 @@ class TorchAutoencoderKL(tnn.Module):
             if hasattr(blk, 'upsamplers'):
                 h = blk.upsamplers[0](h)
         return d.conv_out(tnn.functional.silu(d.conv_norm_out(h)))
+
+
+# ---------------------------------------------------------------------------
+# SAM (segment-anything) twin — official sam_vit_* checkpoint schema.
+# Independent transcription of the architecture (the package is not in
+# this image); used to exercise models/sam.py::convert_sam end to end.
+# ---------------------------------------------------------------------------
+
+class TSamLayerNorm2d(tnn.Module):
+    def __init__(self, ch, eps=1e-6):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.ones(ch))
+        self.bias = tnn.Parameter(torch.zeros(ch))
+        self.eps = eps
+
+    def forward(self, x):                       # (B, C, H, W)
+        mu = x.mean(1, keepdim=True)
+        var = ((x - mu) ** 2).mean(1, keepdim=True)
+        x = (x - mu) / torch.sqrt(var + self.eps)
+        return x * self.weight[:, None, None] + self.bias[:, None, None]
+
+
+class _TSamEncAttn(tnn.Module):
+    def __init__(self, dim, heads, size):
+        super().__init__()
+        self.heads = heads
+        hd = dim // heads
+        self.scale = hd ** -0.5
+        self.qkv = tnn.Linear(dim, dim * 3)
+        self.proj = tnn.Linear(dim, dim)
+        self.rel_pos_h = tnn.Parameter(torch.zeros(2 * size - 1, hd))
+        self.rel_pos_w = tnn.Parameter(torch.zeros(2 * size - 1, hd))
+
+    def forward(self, x):                       # (B, H, W, C)
+        B, H, W, C = x.shape
+        qkv = self.qkv(x).reshape(B, H * W, 3, self.heads, -1) \
+            .permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.reshape(3, B * self.heads, H * W, -1).unbind(0)
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        # decomposed relative positions
+        ch = q.shape[-1]
+        idx_h = (torch.arange(H)[:, None] - torch.arange(H)[None, :]
+                 + H - 1)
+        idx_w = (torch.arange(W)[:, None] - torch.arange(W)[None, :]
+                 + W - 1)
+        Rh, Rw = self.rel_pos_h[idx_h], self.rel_pos_w[idx_w]
+        rq = q.reshape(B * self.heads, H, W, ch)
+        rel_h = torch.einsum('bhwc,hkc->bhwk', rq, Rh)
+        rel_w = torch.einsum('bhwc,wkc->bhwk', rq, Rw)
+        attn = (attn.view(B * self.heads, H, W, H, W)
+                + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+                ).view(B * self.heads, H * W, H * W)
+        attn = attn.softmax(-1)
+        x = (attn @ v).view(B, self.heads, H, W, -1) \
+            .permute(0, 2, 3, 1, 4).reshape(B, H, W, C)
+        return self.proj(x)
+
+
+class _TSamMLP(tnn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.lin1 = tnn.Linear(dim, hidden)
+        self.lin2 = tnn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.lin2(tnn.functional.gelu(self.lin1(x)))
+
+
+class _TSamBlock(tnn.Module):
+    def __init__(self, dim, heads, window, grid):
+        super().__init__()
+        self.window = window
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+        self.attn = _TSamEncAttn(dim, heads,
+                                 window if window > 0 else grid)
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _TSamMLP(dim, dim * 4)
+
+    def forward(self, x):                       # (B, H, W, C)
+        sc = x
+        x = self.norm1(x)
+        if self.window > 0:
+            B, H, W, C = x.shape
+            w = self.window
+            ph, pw = (-H) % w, (-W) % w
+            x = tnn.functional.pad(x, (0, 0, 0, pw, 0, ph))
+            Hp, Wp = H + ph, W + pw
+            x = x.view(B, Hp // w, w, Wp // w, w, C) \
+                .permute(0, 1, 3, 2, 4, 5).reshape(-1, w, w, C)
+            x = self.attn(x)
+            x = x.view(B, Hp // w, Wp // w, w, w, C) \
+                .permute(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+            x = x[:, :H, :W]
+        else:
+            x = self.attn(x)
+        x = sc + x
+        return x + self.mlp(self.norm2(x))
+
+
+class _TSamEncoder(tnn.Module):
+    def __init__(self, img_size, patch, dim, depth, heads, window,
+                 global_idx, out_ch):
+        super().__init__()
+        g = img_size // patch
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, dim, patch, patch)
+        self.pos_embed = tnn.Parameter(torch.zeros(1, g, g, dim))
+        self.blocks = tnn.ModuleList(
+            [_TSamBlock(dim, heads,
+                        0 if i in global_idx else window, g)
+             for i in range(depth)])
+        self.neck = tnn.Sequential(
+            tnn.Conv2d(dim, out_ch, 1, bias=False),
+            TSamLayerNorm2d(out_ch),
+            tnn.Conv2d(out_ch, out_ch, 3, padding=1, bias=False),
+            TSamLayerNorm2d(out_ch))
+
+    def forward(self, x):                       # (B, 3, S, S)
+        x = self.patch_embed.proj(x).permute(0, 2, 3, 1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.neck(x.permute(0, 3, 1, 2))  # (B, D, G, G)
+
+
+class _TSamPromptEncoder(tnn.Module):
+    def __init__(self, dim, grid, input_size):
+        super().__init__()
+        self.grid, self.input_size = grid, input_size
+        self.pe_layer = tnn.Module()
+        self.pe_layer.register_buffer(
+            'positional_encoding_gaussian_matrix',
+            torch.randn(2, dim // 2))
+        self.point_embeddings = tnn.ModuleList(
+            [tnn.Embedding(1, dim) for _ in range(4)])
+        self.not_a_point_embed = tnn.Embedding(1, dim)
+        self.no_mask_embed = tnn.Embedding(1, dim)
+        # mask-input branch kept for checkpoint-schema completeness
+        self.mask_downscaling = tnn.Sequential(
+            tnn.Conv2d(1, 4, 2, 2), TSamLayerNorm2d(4), tnn.GELU(),
+            tnn.Conv2d(4, 16, 2, 2), TSamLayerNorm2d(16), tnn.GELU(),
+            tnn.Conv2d(16, dim, 1))
+
+    def _pe(self, coords01):
+        g = self.pe_layer.positional_encoding_gaussian_matrix
+        c = (2 * coords01 - 1) @ g
+        c = 2 * _math.pi * c
+        return torch.cat([torch.sin(c), torch.cos(c)], -1)
+
+    def dense_pe(self):
+        g = self.grid
+        ys = (torch.arange(g, dtype=torch.float32) + 0.5) / g
+        xs = (torch.arange(g, dtype=torch.float32) + 0.5) / g
+        gy, gx = torch.meshgrid(ys, xs, indexing='ij')
+        return self._pe(torch.stack([gx, gy], -1))   # (G, G, D)
+
+    def forward(self, boxes):                   # (K, 4) xyxy pixels
+        pts = boxes.reshape(-1, 2, 2) + 0.5
+        emb = self._pe(pts / self.input_size)
+        emb = emb + torch.stack(
+            [self.point_embeddings[2].weight[0],
+             self.point_embeddings[3].weight[0]])[None]
+        dense = self.no_mask_embed.weight[0].view(1, -1, 1, 1) \
+            .expand(1, -1, self.grid, self.grid)
+        return emb, dense
+
+
+class _TTwoWayAttn(tnn.Module):
+    def __init__(self, dim, heads, downsample=1):
+        super().__init__()
+        d = dim // downsample
+        self.heads = heads
+        self.q_proj = tnn.Linear(dim, d)
+        self.k_proj = tnn.Linear(dim, d)
+        self.v_proj = tnn.Linear(dim, d)
+        self.out_proj = tnn.Linear(d, dim)
+
+    def forward(self, q, k, v):
+        B = q.shape[0]
+
+        def sp(x):
+            return x.view(B, -1, self.heads,
+                          x.shape[-1] // self.heads).transpose(1, 2)
+        qh, kh, vh = sp(self.q_proj(q)), sp(self.k_proj(k)), \
+            sp(self.v_proj(v))
+        attn = (qh @ kh.transpose(-2, -1)) / _math.sqrt(qh.shape[-1])
+        out = (attn.softmax(-1) @ vh).transpose(1, 2).flatten(2)
+        return self.out_proj(out)
+
+
+class _TTwoWayBlock(tnn.Module):
+    def __init__(self, dim, heads, mlp_dim, skip_pe):
+        super().__init__()
+        self.skip_pe = skip_pe
+        self.self_attn = _TTwoWayAttn(dim, heads)
+        self.norm1 = tnn.LayerNorm(dim)
+        self.cross_attn_token_to_image = _TTwoWayAttn(dim, heads, 2)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.mlp = _TSamMLP(dim, mlp_dim)
+        self.norm3 = tnn.LayerNorm(dim)
+        self.cross_attn_image_to_token = _TTwoWayAttn(dim, heads, 2)
+        self.norm4 = tnn.LayerNorm(dim)
+
+    def forward(self, queries, keys, qpe, kpe):
+        if self.skip_pe:
+            queries = self.self_attn(queries, queries, queries)
+        else:
+            q = queries + qpe
+            queries = queries + self.self_attn(q, q, queries)
+        queries = self.norm1(queries)
+        q, k = queries + qpe, keys + kpe
+        queries = self.norm2(
+            queries + self.cross_attn_token_to_image(q, k, keys))
+        queries = self.norm3(queries + self.mlp(queries))
+        q = queries + qpe
+        keys = self.norm4(
+            keys + self.cross_attn_image_to_token(k, q, queries))
+        return queries, keys
+
+
+class _TTwoWayTransformer(tnn.Module):
+    def __init__(self, dim, heads, mlp_dim, depth=2):
+        super().__init__()
+        self.layers = tnn.ModuleList(
+            [_TTwoWayBlock(dim, heads, mlp_dim, i == 0)
+             for i in range(depth)])
+        self.final_attn_token_to_image = _TTwoWayAttn(dim, heads, 2)
+        self.norm_final_attn = tnn.LayerNorm(dim)
+
+    def forward(self, image_emb, image_pe, tokens):
+        queries, keys = tokens, image_emb
+        for lyr in self.layers:
+            queries, keys = lyr(queries, keys, tokens, image_pe)
+        q, k = queries + tokens, keys + image_pe
+        queries = queries + self.final_attn_token_to_image(q, k, keys)
+        return self.norm_final_attn(queries), keys
+
+
+class _TSamMLP3(tnn.Module):
+    def __init__(self, dim, hidden, out):
+        super().__init__()
+        self.layers = tnn.ModuleList(
+            [tnn.Linear(dim, hidden), tnn.Linear(hidden, hidden),
+             tnn.Linear(hidden, out)])
+
+    def forward(self, x):
+        for i, l in enumerate(self.layers):
+            x = l(x)
+            if i < 2:
+                x = tnn.functional.relu(x)
+        return x
+
+
+class _TSamMaskDecoder(tnn.Module):
+    def __init__(self, dim, heads, mlp_dim, num_multimask=3):
+        super().__init__()
+        nm = num_multimask + 1
+        self.transformer = _TTwoWayTransformer(dim, heads, mlp_dim)
+        self.iou_token = tnn.Embedding(1, dim)
+        self.mask_tokens = tnn.Embedding(nm, dim)
+        self.output_upscaling = tnn.Sequential(
+            tnn.ConvTranspose2d(dim, dim // 4, 2, 2),
+            TSamLayerNorm2d(dim // 4), tnn.GELU(),
+            tnn.ConvTranspose2d(dim // 4, dim // 8, 2, 2), tnn.GELU())
+        self.output_hypernetworks_mlps = tnn.ModuleList(
+            [_TSamMLP3(dim, dim, dim // 8) for _ in range(nm)])
+        self.iou_prediction_head = _TSamMLP3(dim, dim, nm)
+
+    def forward(self, image_emb, image_pe, sparse, dense):
+        # image_emb (D, G, G); sparse (K, T, D); dense (1, D, G, G)
+        K = sparse.shape[0]
+        out_tok = torch.cat([self.iou_token.weight,
+                             self.mask_tokens.weight])
+        tokens = torch.cat(
+            [out_tok.unsqueeze(0).expand(K, -1, -1), sparse], 1)
+        src = (image_emb.unsqueeze(0) + dense).flatten(2) \
+            .transpose(1, 2).expand(K, -1, -1)
+        pos = image_pe.permute(2, 0, 1).flatten(1).transpose(0, 1) \
+            .unsqueeze(0).expand(K, -1, -1)
+        hs, src = self.transformer(src, pos, tokens)
+        nm = self.mask_tokens.weight.shape[0]
+        iou_out, mask_out = hs[:, 0], hs[:, 1:1 + nm]
+        G = image_emb.shape[-1]
+        up = self.output_upscaling(
+            src.transpose(1, 2).view(K, -1, G, G))
+        hyper = torch.stack(
+            [m(mask_out[:, i]) for i, m in
+             enumerate(self.output_hypernetworks_mlps)], 1)
+        masks = torch.einsum('knc,kchw->knhw', hyper, up)
+        return masks, self.iou_prediction_head(iou_out)
+
+
+class TorchSAM(tnn.Module):
+    """Key-schema twin of the official `segment_anything` Sam."""
+
+    def __init__(self, img_size=1024, patch=16, enc_dim=768,
+                 enc_depth=12, enc_heads=12, window=14,
+                 global_idx=(2, 5, 8, 11), dec_dim=256, dec_heads=8,
+                 dec_mlp=2048):
+        super().__init__()
+        self.image_encoder = _TSamEncoder(
+            img_size, patch, enc_dim, enc_depth, enc_heads, window,
+            global_idx, dec_dim)
+        self.prompt_encoder = _TSamPromptEncoder(
+            dec_dim, img_size // patch, img_size)
+        self.mask_decoder = _TSamMaskDecoder(dec_dim, dec_heads,
+                                             dec_mlp)
+
+    def forward(self, img, boxes, multimask=True):
+        emb = self.image_encoder(img)[0]            # (D, G, G)
+        sparse, dense = self.prompt_encoder(boxes)
+        pe = self.prompt_encoder.dense_pe()
+        masks, iou = self.mask_decoder(emb, pe, sparse, dense)
+        if multimask:
+            masks, iou = masks[:, 1:], iou[:, 1:]
+        else:
+            masks, iou = masks[:, :1], iou[:, :1]
+        best = iou.argmax(-1)
+        sel = masks[torch.arange(masks.shape[0]), best]
+        return sel, iou.max(-1).values
