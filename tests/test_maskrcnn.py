@@ -1,0 +1,223 @@
+"""Native Mask R-CNN vs the torchvision-schema twin + numpy oracles.
+
+Networks (frozen-BN ResNet50, FPN, RPN head, box/mask heads) are
+compared numerically against tests/torch_twins.py::TorchMaskRCNNNets
+through `convert_maskrcnn` — converter and layer numerics in one
+shot. The data-flow machinery (RoIAlign with the legacy
+aligned=False edge semantics, level mapping, box decode, mask
+pasting) is pinned by direct numpy transcriptions of the torchvision
+CUDA/C++ semantics, the house pattern for non-network parity
+(tests/oracles.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from cartoonsegmentation_tpu.models.maskrcnn import (  # noqa: E402
+    FPN_STRIDES, MaskRCNN)
+from cartoonsegmentation_tpu.models import maskrcnn as M  # noqa: E402
+from torch_twins import TorchMaskRCNNNets, randomize_  # noqa: E402
+
+
+@pytest.fixture(scope='module')
+def twin_pair():
+    twin = randomize_(TorchMaskRCNNNets(), seed=3, scale=0.1).eval()
+    variables = M.convert_maskrcnn(twin.state_dict())
+    return twin, variables
+
+
+def test_backbone_fpn_parity(twin_pair, rng):
+    twin, variables = twin_pair
+    x = rng.randn(1, 64, 64, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        tf = twin.features(torch.tensor(x).permute(0, 3, 1, 2))
+    model = MaskRCNN()
+    jf = model.apply(variables, jnp.asarray(x),
+                     method=lambda m, v: m.features(v))
+    assert len(jf) == 5
+    for a, b in zip(jf, tf):
+        np.testing.assert_allclose(
+            np.asarray(a), b.permute(0, 2, 3, 1).numpy(),
+            rtol=2e-4, atol=2e-4)
+
+
+def test_rpn_head_parity(twin_pair, rng):
+    twin, variables = twin_pair
+    x = rng.randn(1, 64, 64, 3).astype(np.float32) * 0.5
+    model = MaskRCNN()
+    with torch.no_grad():
+        tfeats = twin.features(torch.tensor(x).permute(0, 3, 1, 2))
+        touts = twin.rpn_outputs(tfeats)
+    jf = model.apply(variables, jnp.asarray(x),
+                     method=lambda m, v: m.features(v))
+    jouts = model.apply(variables, jf,
+                        method=lambda m, f: m.rpn_head(f))
+    for (jc, jr), (tc, tr) in zip(jouts, touts):
+        np.testing.assert_allclose(
+            np.asarray(jc), tc.permute(0, 2, 3, 1).numpy(),
+            rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(jr), tr.permute(0, 2, 3, 1).numpy(),
+            rtol=2e-4, atol=2e-4)
+
+
+def test_box_and_mask_head_parity(twin_pair, rng):
+    twin, variables = twin_pair
+    model = MaskRCNN()
+    roi7 = rng.randn(5, 7, 7, 256).astype(np.float32) * 0.3
+    roi14 = rng.randn(5, 14, 14, 256).astype(np.float32) * 0.3
+    with torch.no_grad():
+        tc, tr = twin.box_outputs(
+            torch.tensor(roi7).permute(0, 3, 1, 2))
+        tm = twin.mask_outputs(
+            torch.tensor(roi14).permute(0, 3, 1, 2))
+    jc, jr = model.apply(variables, jnp.asarray(roi7),
+                         method=lambda m, r: m.box_head(r))
+    jm = model.apply(variables, jnp.asarray(roi14),
+                     method=lambda m, r: m.mask_head(r))
+    # fc6 is a 12.5k-term dot product; f32 reassociation noise is
+    # ~1e-3 absolute on +-50 magnitudes (a layout bug would be O(1))
+    np.testing.assert_allclose(np.asarray(jc), tc.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(jr), tr.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(jm), tm.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# numpy oracles for the machinery
+# ---------------------------------------------------------------------------
+
+def _bilinear_point(f, y, x):
+    """torchvision roi_align bilinear_interpolate semantics."""
+    H, W, C = f.shape
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return np.zeros(C, np.float64)
+    y, x = max(y, 0.0), max(x, 0.0)
+    y0, x0 = int(y), int(x)
+    if y0 >= H - 1:
+        y0 = y1 = H - 1
+        ly = 0.0
+    else:
+        y1, ly = y0 + 1, y - y0
+    if x0 >= W - 1:
+        x0 = x1 = W - 1
+        lx = 0.0
+    else:
+        x1, lx = x0 + 1, x - x0
+    return (f[y0, x0] * (1 - ly) * (1 - lx) + f[y0, x1] * (1 - ly) * lx
+            + f[y1, x0] * ly * (1 - lx) + f[y1, x1] * ly * lx)
+
+
+def roi_align_oracle(feats, boxes, out, sampling=2):
+    N, C = len(boxes), feats[0].shape[2]
+    res = np.zeros((N, out, out, C), np.float32)
+    for n, b in enumerate(boxes):
+        area = max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+        k = int(np.floor(4 + np.log2(np.sqrt(area) / 224 + 1e-6)))
+        lv = min(max(k, 2), 5) - 2
+        f = feats[lv].astype(np.float64)
+        scale = 1.0 / FPN_STRIDES[lv]
+        x1, y1 = b[0] * scale, b[1] * scale
+        rw = max(b[2] * scale - x1, 1.0)
+        rh = max(b[3] * scale - y1, 1.0)
+        bw, bh = rw / out, rh / out
+        for i in range(out):
+            for j in range(out):
+                acc = np.zeros(C, np.float64)
+                for ky in range(sampling):
+                    yy = y1 + (i + (ky + 0.5) / sampling) * bh
+                    for kx in range(sampling):
+                        xx = x1 + (j + (kx + 0.5) / sampling) * bw
+                        acc += _bilinear_point(f, yy, xx)
+                res[n, i, j] = acc / sampling ** 2
+    return res
+
+
+def test_roi_align_pyramid_oracle(rng):
+    """All 4 levels exercised (box sizes spanning the level mapper),
+    including out-of-bounds and bottom-edge sample bands."""
+    feats = [rng.randn(64 // s, 96 // s, 8).astype(np.float32)
+             for s in FPN_STRIDES[:4]]
+    boxes = np.array([
+        [5., 4., 60., 50.],          # small → P2
+        [0., 0., 250., 180.],        # ~P3/P4
+        [-10., -10., 500., 400.],    # big + oob samples
+        [2., 2., 3.5, 3.5],          # tiny (min roi size 1 clamps)
+        [80., 40., 700., 600.],      # → P5, beyond feature extent
+    ], np.float32)
+    want = roi_align_oracle(feats, boxes, out=7)
+    got = np.asarray(M.roi_align_pyramid(
+        [jnp.asarray(f) for f in feats], jnp.asarray(boxes), out=7))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_decode_boxes_oracle(rng):
+    anchors = np.abs(rng.randn(20, 2)) * 50
+    anchors = np.concatenate([anchors, anchors + 20
+                              + np.abs(rng.randn(20, 2)) * 80],
+                             1).astype(np.float32)
+    deltas = (rng.randn(20, 4) * 0.5).astype(np.float32)
+    deltas[:3, 2:] = 10.0                        # exercises the clamp
+    w = (10., 10., 5., 5.)
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax, ay = anchors[:, 0] + aw / 2, anchors[:, 1] + ah / 2
+    dx, dy = deltas[:, 0] / w[0], deltas[:, 1] / w[1]
+    dw = np.minimum(deltas[:, 2] / w[2], np.log(1000. / 16))
+    dh = np.minimum(deltas[:, 3] / w[3], np.log(1000. / 16))
+    cx, cy = dx * aw + ax, dy * ah + ay
+    bw, bh = np.exp(dw) * aw, np.exp(dh) * ah
+    want = np.stack([cx - bw / 2, cy - bh / 2,
+                     cx + bw / 2, cy + bh / 2], 1)
+    got = np.asarray(M.decode_boxes(jnp.asarray(anchors),
+                                    jnp.asarray(deltas), w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_cell_anchors_torchvision_values():
+    """First-level anchors must equal torchvision's rounded set for
+    size 32, aspects (0.5, 1, 2)."""
+    a = M.cell_anchors()[0]
+    want = np.array([[-23., -11., 23., 11.],
+                     [-16., -16., 16., 16.],
+                     [-11., -23., 11., 23.]], np.float32)
+    np.testing.assert_array_equal(np.sort(a, 0), np.sort(want, 0))
+
+
+def test_paste_masks_semantics():
+    """A saturated 28x28 logit pasted into a box covers exactly the
+    box interior (padding ring + expansion cancel), clipped at the
+    image border."""
+    logits = np.full((1, 28, 28), 12.0, np.float32)
+    boxes = np.array([[10., 6., 30., 22.]], np.float32)
+    out = M.paste_masks(logits, boxes, 28, 40)
+    ys, xs = np.where(out[0])
+    assert xs.min() >= 9 and xs.max() <= 31
+    assert ys.min() >= 5 and ys.max() <= 23
+    assert out[0, 14, 20]                        # interior filled
+    # clipping: box partially outside
+    boxes2 = np.array([[-10., -10., 15., 15.]], np.float32)
+    out2 = M.paste_masks(logits, boxes2, 28, 40)
+    assert out2[0, 0, 0] and not out2[0, 27, 39]
+
+
+def test_full_detect_contract(rng):
+    """Random-weight full pipeline on a small canvas: fixed-capacity
+    outputs, valid mask coherent, one jitted program."""
+    model = MaskRCNN(pre_nms_top=200, post_nms_top=100,
+                     box_candidates=256, max_det=10)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32) * 0.3
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = jax.jit(model.apply)(variables, jnp.asarray(x))
+    assert out['boxes'].shape == (10, 4)
+    assert out['masks'].shape == (10, 28, 28)
+    v = np.asarray(out['valid'])
+    s = np.asarray(out['scores'])
+    assert (s[v] > 0.05).all()
+    lbl = np.asarray(out['labels'])
+    assert ((lbl[v] >= 1) & (lbl[v] < 91)).all()

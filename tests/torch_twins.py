@@ -1779,3 +1779,192 @@ class TorchSAM(tnn.Module):
         best = iou.argmax(-1)
         sel = masks[torch.arange(masks.shape[0]), best]
         return sel, iou.max(-1).values
+
+
+# ---------------------------------------------------------------------------
+# Mask R-CNN twin — torchvision maskrcnn_resnet50_fpn key schema
+# (neural parts: frozen-BN ResNet50, FPN, RPN head, box/mask heads;
+# the proposal machinery is tested against numpy oracles instead).
+# ---------------------------------------------------------------------------
+
+class TFrozenBN(tnn.Module):
+    def __init__(self, ch, eps=1e-5):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.ones(ch))
+        self.bias = tnn.Parameter(torch.zeros(ch))
+        self.register_buffer('running_mean', torch.zeros(ch))
+        self.register_buffer('running_var', torch.ones(ch))
+        self.eps = eps
+
+    def forward(self, x):
+        s = (self.weight / torch.sqrt(self.running_var + self.eps)
+             )[:, None, None]
+        return x * s + (self.bias[:, None, None]
+                        - self.running_mean[:, None, None] * s)
+
+
+class _TBottleneck(tnn.Module):
+    def __init__(self, cin, width, stride):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = TFrozenBN(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = TFrozenBN(width)
+        self.conv3 = tnn.Conv2d(width, width * 4, 1, bias=False)
+        self.bn3 = TFrozenBN(width * 4)
+        if stride != 1 or cin != width * 4:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, width * 4, 1, stride, bias=False),
+                TFrozenBN(width * 4))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        x = tF.relu(self.bn1(self.conv1(x)))
+        x = tF.relu(self.bn2(self.conv2(x)))
+        return tF.relu(self.bn3(self.conv3(x)) + idn)
+
+
+class _TResNet50Body(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = TFrozenBN(64)
+        cin = 64
+        for li, (n, w) in enumerate(zip((3, 4, 6, 3),
+                                        (64, 128, 256, 512))):
+            blocks = []
+            for bi in range(n):
+                blocks.append(_TBottleneck(
+                    cin, w, 2 if (bi == 0 and li > 0) else 1))
+                cin = w * 4
+            setattr(self, f'layer{li + 1}', tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = tF.relu(self.bn1(self.conv1(x)))
+        x = tF.max_pool2d(x, 3, 2, 1)
+        c2 = self.layer1(x)
+        c3 = self.layer2(c2)
+        c4 = self.layer3(c3)
+        c5 = self.layer4(c4)
+        return [c2, c3, c4, c5]
+
+
+class _TFPN(tnn.Module):
+    def __init__(self, chans=(256, 512, 1024, 2048), out=256):
+        super().__init__()
+        self.inner_blocks = tnn.ModuleList(
+            [tnn.Conv2d(c, out, 1) for c in chans])
+        self.layer_blocks = tnn.ModuleList(
+            [tnn.Conv2d(out, out, 3, padding=1) for _ in chans])
+
+    def forward(self, feats):
+        inners = [m(f) for m, f in zip(self.inner_blocks, feats)]
+        last = inners[-1]
+        outs = [None] * 4
+        outs[-1] = self.layer_blocks[-1](last)
+        for i in (2, 1, 0):
+            last = inners[i] + tF.interpolate(
+                last, size=inners[i].shape[-2:], mode='nearest')
+            outs[i] = self.layer_blocks[i](last)
+        outs.append(tF.max_pool2d(outs[-1], 1, 2, 0))
+        return outs
+
+
+class _TRPNHead(tnn.Module):
+    def __init__(self, ch=256, a=3):
+        super().__init__()
+        self.conv = tnn.Conv2d(ch, ch, 3, padding=1)
+        self.cls_logits = tnn.Conv2d(ch, a, 1)
+        self.bbox_pred = tnn.Conv2d(ch, a * 4, 1)
+
+    def forward(self, feats):
+        out = []
+        for f in feats:
+            h = tF.relu(self.conv(f))
+            out.append((self.cls_logits(h), self.bbox_pred(h)))
+        return out
+
+
+class _TBoxHead(tnn.Module):
+    def __init__(self, ch=256, classes=91):
+        super().__init__()
+        self.fc6 = tnn.Linear(ch * 49, 1024)
+        self.fc7 = tnn.Linear(1024, 1024)
+        self.cls_score = tnn.Linear(1024, classes)
+        self.bbox_pred = tnn.Linear(1024, classes * 4)
+
+    def forward(self, roi):                     # (N, 256, 7, 7)
+        x = tF.relu(self.fc6(roi.flatten(1)))
+        x = tF.relu(self.fc7(x))
+        return self.cls_score(x), self.bbox_pred(x)
+
+
+class _TMaskHead(tnn.Module):
+    def __init__(self, ch=256, classes=91):
+        super().__init__()
+        for i in range(1, 5):
+            setattr(self, f'mask_fcn{i}',
+                    tnn.Conv2d(ch, ch, 3, padding=1))
+        self.conv5_mask = tnn.ConvTranspose2d(ch, ch, 2, 2)
+        self.mask_fcn_logits = tnn.Conv2d(ch, classes, 1)
+
+    def forward(self, roi):                     # (N, 256, 14, 14)
+        x = roi
+        for i in range(1, 5):
+            x = tF.relu(getattr(self, f'mask_fcn{i}')(x))
+        x = tF.relu(self.conv5_mask(x))
+        return self.mask_fcn_logits(x)
+
+
+class TorchMaskRCNNNets(tnn.Module):
+    """Checkpoint-schema twin of the torchvision Mask R-CNN NETWORKS
+    (the data-flow around them — anchors, RoIAlign, NMS, pasting — is
+    pinned by numpy oracles in tests/test_maskrcnn.py)."""
+
+    def __init__(self):
+        super().__init__()
+        self.backbone = tnn.Module()
+        self.backbone.body = _TResNet50Body()
+        self.backbone.fpn = _TFPN()
+        self.rpn = tnn.Module()
+        self.rpn.head = _TRPNHead()
+        self.roi_heads = tnn.Module()
+        full = _TBoxHead()
+        self.roi_heads.box_head = tnn.Module()
+        self.roi_heads.box_head.fc6 = full.fc6
+        self.roi_heads.box_head.fc7 = full.fc7
+        self.roi_heads.box_predictor = tnn.Module()
+        self.roi_heads.box_predictor.cls_score = full.cls_score
+        self.roi_heads.box_predictor.bbox_pred = full.bbox_pred
+        mh = _TMaskHead()
+        self.roi_heads.mask_head = tnn.Module()
+        for i in range(1, 5):
+            setattr(self.roi_heads.mask_head, f'mask_fcn{i}',
+                    getattr(mh, f'mask_fcn{i}'))
+        self.roi_heads.mask_predictor = tnn.Module()
+        self.roi_heads.mask_predictor.conv5_mask = mh.conv5_mask
+        self.roi_heads.mask_predictor.mask_fcn_logits = \
+            mh.mask_fcn_logits
+
+    def features(self, x):
+        return self.backbone.fpn(self.backbone.body(x))
+
+    def rpn_outputs(self, feats):
+        return self.rpn.head(feats)
+
+    def box_outputs(self, roi):                  # (N, 256, 7, 7)
+        rh = self.roi_heads
+        x = tF.relu(rh.box_head.fc6(roi.flatten(1)))
+        x = tF.relu(rh.box_head.fc7(x))
+        return (rh.box_predictor.cls_score(x),
+                rh.box_predictor.bbox_pred(x))
+
+    def mask_outputs(self, roi):                 # (N, 256, 14, 14)
+        rh = self.roi_heads
+        x = roi
+        for i in range(1, 5):
+            x = tF.relu(getattr(rh.mask_head, f'mask_fcn{i}')(x))
+        x = tF.relu(rh.mask_predictor.conv5_mask(x))
+        return rh.mask_predictor.mask_fcn_logits(x)
