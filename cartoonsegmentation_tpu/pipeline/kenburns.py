@@ -140,6 +140,13 @@ class KenBurnsPipeline:
                                           self.cfg.refine_size)
                 self._detector = seg
                 return
+            if detector == 'maskrcnn':
+                # the reference's COCO torchvision model
+                # (kenburns_effect.py:843-845, 874-886) — native here
+                from .maskrcnn_det import MaskRCNNDetector
+                self._detector = MaskRCNNDetector(
+                    capacity=self.cfg.max_instances)
+                return
             if detector == 'sam':
                 # configs/3dkenburns_sam.yaml — AnimeInsSeg boxes
                 # re-masked by the NATIVE Flax SAM (models/sam.py; the

@@ -221,3 +221,41 @@ def test_full_detect_contract(rng):
     assert (s[v] > 0.05).all()
     lbl = np.asarray(out['labels'])
     assert ((lbl[v] >= 1) & (lbl[v] < 91)).all()
+
+
+def test_maskrcnn_detector_wrapper(rng):
+    """Pipeline detector contract at a small canvas: Instances with
+    fixed capacity, xywh boxes inside the image, masks at image res,
+    invalid slots empty; second same-aspect call reuses the jitted
+    program."""
+    from cartoonsegmentation_tpu.pipeline.maskrcnn_det import \
+        MaskRCNNDetector
+    det = MaskRCNNDetector(
+        capacity=6, min_size=64, max_size=96,
+        model=MaskRCNN(pre_nms_top=100, post_nms_top=50,
+                       box_candidates=128, max_det=8))
+    img = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+    ins = det.infer(img, pred_score_thr=0.0)
+    assert ins.masks.shape == (6, 80, 100)
+    v = np.asarray(ins.valid)
+    xywh = np.asarray(ins.bboxes)
+    assert (xywh[v][:, 2:] >= 0).all()
+    assert (xywh[v][:, 0] + xywh[v][:, 2] <= 100 + 1e-3).all()
+    inval = ~v
+    assert not np.asarray(ins.masks)[inval].any()
+    assert len(det._jit) == 1
+    det.infer(img, pred_score_thr=0.0)
+    assert len(det._jit) == 1                    # program reused
+
+
+def test_pipeline_maskrcnn_wiring():
+    from cartoonsegmentation_tpu.config import build_kenburns_cfg
+    from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
+    from cartoonsegmentation_tpu.pipeline.maskrcnn_det import \
+        MaskRCNNDetector
+    cfg = build_kenburns_cfg('configs/3dkenburns.yaml')
+    pipe = KenBurnsPipeline(cfg.replace(detector='maskrcnn',
+                                        max_size=64))
+    pipe.ensure_detector()
+    assert isinstance(pipe._detector, MaskRCNNDetector)
+    assert pipe._detector.capacity == cfg.max_instances
