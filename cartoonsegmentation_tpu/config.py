@@ -35,7 +35,7 @@ class KenBurnsConfig:
     """Immutable, hashable pipeline configuration (jit-static)."""
 
     # --- detector ---
-    detector: str = 'animeinsseg'           # animeinsseg | none
+    detector: str = 'animeinsseg'   # animeinsseg | sam | maskrcnn | none
     det_ckpt: str = 'models/AnimeInstanceSegmentation/rtmdetl_e60.ckpt'
     det_size: int = 640
     pred_score_thr: float = 0.3

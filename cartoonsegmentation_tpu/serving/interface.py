@@ -150,7 +150,8 @@ class KenBurnsService:
                    'num_frame', 'max_size', 'discfill_mode',
                    'dof_num_samples', 'depthest_use_medium',
                    'marigold_steps', 'marigold_ensemble',
-                   'marigold_scheduler', 'ldm_inpaint_size')
+                   'marigold_scheduler', 'ldm_inpaint_size',
+                   'detector')
 
     def set_config(self, payload: Dict) -> Dict:
         """Rebuild the pipeline with updated config knobs, carrying
@@ -171,7 +172,13 @@ class KenBurnsService:
             carry = ['_disparity_vars', '_inpaint_vars',
                      '_refine_vars', '_leres_vars', '_p2p_vars',
                      '_zoe_net', '_zoe_vars', '_zoe_ckpt_path',
-                     '_zoe_ckpt_is_nk', '_ldm_native', '_detector']
+                     '_zoe_ckpt_is_nk', '_ldm_native']
+            # the detector family object only survives if the
+            # 'detector' knob itself didn't change (sam/maskrcnn/
+            # animeinsseg rebuild lazily via ensure_detector)
+            if kw.get('detector', old.cfg.detector) \
+                    == old.cfg.detector:
+                carry.append('_detector')
             if not marigold_changed:
                 carry.append('_marigold')
             for attr in carry:

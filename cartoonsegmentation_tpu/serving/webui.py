@@ -64,6 +64,9 @@ PAGE_HTML = """<!doctype html>
   <label>inpaint <select id="cfg_inpaint">
    <option>default</option><option>patchmatch</option>
    <option>ldm</option><option>ldm_native</option></select></label>
+  <label>detector <select id="cfg_det">
+   <option>animeinsseg</option><option>sam</option>
+   <option>maskrcnn</option><option>none</option></select></label>
   <label>DoF <input type="checkbox" id="cfg_dof" checked></label>
   <button onclick="cfgApply()">apply config</button></div>
  <div class="row">
@@ -198,6 +201,7 @@ function kbLive(){
 async function cfgApply(){
   const body={depth_est:document.getElementById('cfg_depth').value,
     inpaint_type:document.getElementById('cfg_inpaint').value,
+    detector:document.getElementById('cfg_det').value,
     depth_field:document.getElementById('cfg_dof').checked};
   const r=await fetch('/config',{method:'POST',
     body:JSON.stringify(body)});

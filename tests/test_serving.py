@@ -430,5 +430,19 @@ def test_config_route_switches_pipeline(rng):
         requests.post(f'{base}/load_image', data=enc.tobytes())
         r = requests.get(f'{base}/get_live?fltTime=0.5')
         assert r.status_code == 200
+
+        # detector switch: carried while unchanged, dropped when the
+        # family changes (rebuilds lazily via ensure_detector)
+        svc = srv.service
+        sentinel = object()
+        svc.pipe._detector = sentinel
+        requests.post(f'{base}/config',
+                      data=json.dumps({'num_frame': 3}))
+        assert svc.pipe._detector is sentinel
+        r = requests.post(f'{base}/config',
+                          data=json.dumps({'detector': 'maskrcnn'}))
+        assert 'detector' in r.json()['changed']
+        assert svc.pipe.cfg.detector == 'maskrcnn'
+        assert svc.pipe._detector is not sentinel
     finally:
         srv.shutdown()
