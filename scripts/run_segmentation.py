@@ -17,6 +17,12 @@ def main():
                     help='torch rtmdetl checkpoint to convert+load')
     ap.add_argument('--score-thr', type=float, default=0.3)
     ap.add_argument('--det-size', type=int, default=640)
+    ap.add_argument('--detector', default='animeinsseg',
+                    choices=('animeinsseg', 'sam', 'maskrcnn'),
+                    help="'sam' re-masks AnimeInsSeg boxes with the "
+                         'native SAM; maskrcnn is the COCO model')
+    ap.add_argument('--sam-ckpt', default='',
+                    help='official sam_vit_*.pth to convert+load')
     ap.add_argument('--save-json', default='',
                     help='write COCO-style annotations here')
     args = ap.parse_args()
@@ -26,9 +32,20 @@ def main():
     from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
     from cartoonsegmentation_tpu.data.coco_export import instances_to_coco
 
-    seg = AnimeInsSeg(det_size=args.det_size)
-    if args.ckpt:
-        seg.load_torch_checkpoint(args.ckpt)
+    if args.detector == 'maskrcnn':
+        from cartoonsegmentation_tpu.pipeline import MaskRCNNDetector
+        seg = MaskRCNNDetector()
+        if args.ckpt:
+            seg.load_torch_checkpoint(args.ckpt)
+    else:
+        seg = AnimeInsSeg(det_size=args.det_size)
+        if args.ckpt:
+            seg.load_torch_checkpoint(args.ckpt)
+        if args.detector == 'sam':
+            from cartoonsegmentation_tpu.pipeline import SamDetector
+            seg = SamDetector(seg)
+            if args.sam_ckpt:
+                seg.sam.load_torch_checkpoint(args.sam_ckpt)
 
     if osp.isdir(args.input):
         imgs = sorted(
