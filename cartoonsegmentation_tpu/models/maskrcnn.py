@@ -222,7 +222,10 @@ def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray,
                       cx + bw / 2, cy + bh / 2], -1)
 
 
-def clip_boxes(boxes: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def clip_boxes(boxes: jnp.ndarray, h, w) -> jnp.ndarray:
+    """h/w may be traced scalars (the real image extent inside the
+    padded canvas — torchvision clips to image_sizes, not the padded
+    batch shape)."""
     return jnp.stack([jnp.clip(boxes[..., 0], 0, w),
                       jnp.clip(boxes[..., 1], 0, h),
                       jnp.clip(boxes[..., 2], 0, w),
@@ -348,7 +351,7 @@ class MaskRCNN(nn.Module):
     def features(self, x):
         return self.fpn(self.body(x))
 
-    def propose(self, feats, img_h: int, img_w: int):
+    def propose(self, feats, img_h, img_w):
         """RPN inference: per-level top-k → decode → clip → per-level
         NMS → global top post_nms_top (torchvision RegionProposal
         Network.filter_proposals)."""
@@ -382,7 +385,7 @@ class MaskRCNN(nn.Module):
         return boxes[keep], jnp.where(mask, scores[keep], -jnp.inf)
 
     def detect_boxes(self, feats, proposals, prop_scores,
-                     img_h: int, img_w: int):
+                     img_h, img_w):
         """Fast R-CNN branch on the fixed proposal set."""
         roi = roi_align_pyramid([f[0] for f in feats[:4]], proposals,
                                 out=7)
@@ -422,15 +425,21 @@ class MaskRCNN(nn.Module):
                               dtype=logits.dtype)
         return jnp.einsum('nhwc,nc->nhw', logits, pick)
 
-    def __call__(self, x):
-        """x (1, H, W, 3) normalized. Returns dict with fixed-shape
-        boxes (D,4) xyxy, labels (D,), scores (D,), mask logits
-        (D, 28, 28), valid (D,)."""
+    def __call__(self, x, image_hw=None):
+        """x (1, H, W, 3) normalized; image_hw optional traced (2,)
+        array with the un-padded image extent (torchvision clips
+        proposals/detections to image_sizes, not the /32 canvas).
+        Returns dict with fixed-shape boxes (D,4) xyxy, labels (D,),
+        scores (D,), mask logits (D, 28, 28), valid (D,)."""
         H, W = x.shape[1:3]
+        if image_hw is None:
+            ih, iw = H, W
+        else:
+            ih, iw = image_hw[0], image_hw[1]
         feats = self.features(x)
-        proposals, pscores = self.propose(feats, H, W)
+        proposals, pscores = self.propose(feats, ih, iw)
         boxes, labels, scores, mask = self.detect_boxes(
-            feats, proposals, pscores, H, W)
+            feats, proposals, pscores, ih, iw)
         mlog = self.detect_masks(feats, boxes, labels)
         return {'boxes': boxes, 'labels': labels, 'scores': scores,
                 'masks': mlog, 'valid': mask & (scores > 0)}
@@ -538,13 +547,10 @@ def convert_maskrcnn(sd: Mapping) -> Dict:
             'bbox_pred': _dense_p(sd, 'roi_heads.box_predictor'
                                   '.bbox_pred')}
 
-    maskh = {f'mask_fcn{i}': _conv_p(
-        sd, f'roi_heads.mask_head.mask_fcn{i}') for i in range(1, 5)}
-    # newer torchvision nests mask_head convs as .0.weight
-    for i in range(1, 5):
-        if f'roi_heads.mask_head.mask_fcn{i}.weight' not in sd:
-            maskh[f'mask_fcn{i}'] = _conv_p(
-                sd, f'roi_heads.mask_head.{i - 1}.0')
+    # legacy flat keys (mask_fcnN) vs newer torchvision nesting (N.0)
+    maskh = {f'mask_fcn{i}': _flex_conv(
+        sd, f'roi_heads.mask_head.mask_fcn{i}',
+        f'roi_heads.mask_head.{i - 1}.0') for i in range(1, 5)}
     maskh['conv5_mask'] = {
         'kernel': deconv_w(
             sd['roi_heads.mask_predictor.conv5_mask.weight']),

@@ -480,17 +480,28 @@ def convert_sam(sd: Mapping, model: SAM) -> Dict:
     not_a_point_embed are unused by the box path and ignored.
     """
     sd = {k: v for k, v in sd.items()}
+    g = model.img_size // model.patch
+    pos = _np(sd['image_encoder.pos_embed'])
+    if pos.shape[1] != g:
+        # non-1024 img_size: resample the learned position grid the
+        # same way the rel-pos tables are (bicubic, standard ViT
+        # position-embedding interpolation; cv2 caps at 512 channels
+        # → chunked)
+        import cv2
+        pos = np.concatenate(
+            [np.atleast_3d(cv2.resize(pos[0][..., i:i + 256], (g, g),
+                                      interpolation=cv2.INTER_CUBIC))
+             for i in range(0, pos.shape[-1], 256)], -1)[None]
     enc: Dict = {
         'patch_embed': {'kernel': conv_w(
             sd['image_encoder.patch_embed.proj.weight']),
             'bias': _np(sd['image_encoder.patch_embed.proj.bias'])},
-        'pos_embed': _np(sd['image_encoder.pos_embed']),
+        'pos_embed': pos,
         'neck0': {'kernel': conv_w(sd['image_encoder.neck.0.weight'])},
         'neck1': _ln2d_p(sd, 'image_encoder.neck.1'),
         'neck2': {'kernel': conv_w(sd['image_encoder.neck.2.weight'])},
         'neck3': _ln2d_p(sd, 'image_encoder.neck.3'),
     }
-    g = model.img_size // model.patch
     for i in range(model.enc_depth):
         pre = f'image_encoder.blocks.{i}'
         size = g if i in model.global_idx else model.window

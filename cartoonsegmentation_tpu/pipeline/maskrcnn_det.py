@@ -66,13 +66,13 @@ class MaskRCNNDetector:
             model = self.model
 
             @jax.jit
-            def fn(variables, canvas_u8):
+            def fn(variables, canvas_u8, image_hw):
                 x = canvas_u8.astype(jnp.float32) / 255.0
                 # reference channel quirk: (R, B, G) from BGR
                 x = x[..., jnp.asarray([2, 0, 1])]
                 x = (x - jnp.asarray(MRCNN_MEAN)) \
                     / jnp.asarray(MRCNN_STD)
-                return model.apply(variables, x[None])
+                return model.apply(variables, x[None], image_hw)
             self._jit[(ch, cw)] = fn
         return self._jit[(ch, cw)]
 
@@ -94,7 +94,9 @@ class MaskRCNNDetector:
         canvas[:nh, :nw] = resized
 
         variables = self._ensure_variables(ch, cw)
-        out = self._program(ch, cw)(variables, jnp.asarray(canvas))
+        out = self._program(ch, cw)(
+            variables, jnp.asarray(canvas),
+            jnp.asarray([nh, nw], jnp.float32))
         boxes = np.asarray(out['boxes']) / scale
         scores = np.asarray(out['scores'])
         valid = np.asarray(out['valid']) & (scores > thr)

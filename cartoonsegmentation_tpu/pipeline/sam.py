@@ -125,8 +125,11 @@ class NativeSAM:
         variables = self._ensure_variables()
         enc, dec = self._programs()
         canvas, scale, nh, nw = self._prepare(img_bgr)
-        key = (img_bgr.shape, img_bgr.tobytes() if img_bgr.nbytes
-               < (1 << 22) else id(img_bgr))
+        # content key, never id(): CPython reuses freed addresses, so
+        # an id()-keyed cache can serve image i's embedding for image
+        # i+1. Hashing the CANVAS is exact w.r.t. the encoder input
+        # and bounded at img_size^2*3 bytes regardless of source size.
+        key = (img_bgr.shape, hash(canvas.tobytes()))
         if self._emb_key != key:
             self._emb = enc(variables, jnp.asarray(canvas))
             self._emb_key = key

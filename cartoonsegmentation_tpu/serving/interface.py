@@ -174,11 +174,16 @@ class KenBurnsService:
                      '_zoe_net', '_zoe_vars', '_zoe_ckpt_path',
                      '_zoe_ckpt_is_nk', '_ldm_native']
             # the detector family object only survives if the
-            # 'detector' knob itself didn't change (sam/maskrcnn/
-            # animeinsseg rebuild lazily via ensure_detector)
+            # 'detector' knob itself didn't change; when it DID
+            # change and a detector was in use, build the new family
+            # NOW — generate_state only checks `_detector is not
+            # None`, so dropping without rebuilding would silently
+            # disable segmentation
             if kw.get('detector', old.cfg.detector) \
                     == old.cfg.detector:
                 carry.append('_detector')
+            elif old._detector is not None:
+                new.ensure_detector()
             if not marigold_changed:
                 carry.append('_marigold')
             for attr in carry:

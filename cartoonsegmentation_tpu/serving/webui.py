@@ -356,5 +356,17 @@ async function styRun(){
   st('repainted ('+j.outputs+' output[s])');
   document.getElementById('sty_img').src=
     'data:image/png;base64,'+j.image;}
+// initialize the config controls from the SERVER's live config, so
+// an "apply config" without touching a control never force-resets a
+// non-default knob (e.g. a server started with detector: sam)
+(async()=>{try{
+  const j=await (await fetch('/health')).json();
+  const c=j.config||{};
+  for(const [id,k] of [['cfg_depth','depth_est'],
+      ['cfg_inpaint','inpaint_type'],['cfg_det','detector']])
+    if(c[k]!==undefined)document.getElementById(id).value=c[k];
+  if(c.depth_field!==undefined)
+    document.getElementById('cfg_dof').checked=c.depth_field;
+}catch(e){}})();
 </script></body></html>
 """

@@ -259,3 +259,159 @@ def test_pipeline_maskrcnn_wiring():
     pipe.ensure_detector()
     assert isinstance(pipe._detector, MaskRCNNDetector)
     assert pipe._detector.capacity == cfg.max_instances
+
+
+# ---------------------------------------------------------------------------
+# COMPOSED full-model parity: twin networks + independently written
+# numpy machinery (anchors→top-k→decode→NMS→RoIAlign→heads→per-class
+# NMS) vs our single jitted __call__. Catches seam bugs (clip extent,
+# score/ordering handoffs, box-coder weights) that per-subnet parity
+# and random-weight contract checks cannot see.
+# ---------------------------------------------------------------------------
+
+def _iou_np(a, b):
+    area_a = np.maximum(a[:, 2] - a[:, 0], 0) \
+        * np.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = np.maximum(b[:, 2] - b[:, 0], 0) \
+        * np.maximum(b[:, 3] - b[:, 1], 0)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / np.maximum(area_a[:, None] + area_b[None] - inter,
+                              1e-9)
+
+
+def _nms_np(boxes, scores, thr):
+    order = list(np.argsort(-scores))
+    keep = []
+    while order:
+        i = order.pop(0)
+        keep.append(i)
+        if not order:
+            break
+        rest = np.asarray(order)
+        iou = _iou_np(boxes[i:i + 1], boxes[rest])[0]
+        order = [j for j, ok in zip(rest, iou <= thr) if ok]
+    return keep
+
+
+def _decode_np(anchors, deltas, w):
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax, ay = anchors[:, 0] + aw / 2, anchors[:, 1] + ah / 2
+    dx, dy = deltas[:, 0] / w[0], deltas[:, 1] / w[1]
+    dw = np.minimum(deltas[:, 2] / w[2], np.log(1000. / 16))
+    dh = np.minimum(deltas[:, 3] / w[3], np.log(1000. / 16))
+    cx, cy = dx * aw + ax, dy * ah + ay
+    bw, bh = np.exp(dw) * aw, np.exp(dh) * ah
+    return np.stack([cx - bw / 2, cy - bh / 2,
+                     cx + bw / 2, cy + bh / 2], 1)
+
+
+def _clip_np(b, h, w):
+    return np.stack([b[:, 0].clip(0, w), b[:, 1].clip(0, h),
+                     b[:, 2].clip(0, w), b[:, 3].clip(0, h)], 1)
+
+
+def _reference_detect(twin, x_nhwc, ih, iw, pre, post, cand, max_det):
+    """torchvision inference data flow, written independently in
+    numpy on top of the twin's torch networks."""
+    with torch.no_grad():
+        tfeats = twin.features(
+            torch.tensor(x_nhwc).permute(0, 3, 1, 2))
+        rpn = twin.rpn_outputs(tfeats)
+    feats_np = [f[0].permute(1, 2, 0).numpy() for f in tfeats[:4]]
+    cell = M.cell_anchors()
+
+    boxes_all, scores_all, lvl_all = [], [], []
+    for lv, (cls, reg) in enumerate(rpn):
+        obj = cls[0].permute(1, 2, 0).numpy().reshape(-1)
+        dlt = reg[0].permute(1, 2, 0).numpy().reshape(-1, 4)
+        H, W = cls.shape[-2:]
+        anch = M.level_anchors(H, W, M.FPN_STRIDES[lv], cell[lv])
+        k = min(pre, obj.size)
+        top = np.argsort(-obj)[:k]
+        b = _clip_np(_decode_np(anch[top], dlt[top], (1, 1, 1, 1)),
+                     ih, iw)
+        s = 1 / (1 + np.exp(-obj[top]))
+        okw = (b[:, 2] - b[:, 0] >= 1e-3) & (b[:, 3] - b[:, 1] >= 1e-3)
+        boxes_all.append(b[okw])
+        scores_all.append(s[okw])
+        lvl_all.append(np.full(okw.sum(), lv))
+    boxes = np.concatenate(boxes_all)
+    scores = np.concatenate(scores_all)
+    lvls = np.concatenate(lvl_all)
+    keep = []
+    for lv in range(5):                       # per-level NMS
+        idx = np.where(lvls == lv)[0]
+        keep += [idx[i] for i in _nms_np(boxes[idx], scores[idx], 0.7)]
+    keep = np.asarray(keep)
+    keep = keep[np.argsort(-scores[keep])][:post]
+    props = boxes[keep]
+
+    roi = roi_align_oracle(feats_np, props, out=7)
+    with torch.no_grad():
+        cls, reg = twin.box_outputs(
+            torch.tensor(roi).permute(0, 3, 1, 2))
+        probs = torch.softmax(cls, -1).numpy()
+        reg = reg.numpy().reshape(len(props), 91, 4)
+    cand_boxes, cand_scores, cand_labels = [], [], []
+    for c in range(1, 91):
+        b = _clip_np(_decode_np(props, reg[:, c], (10, 10, 5, 5)),
+                     ih, iw)
+        s = probs[:, c]
+        ok = (s > 0.05) & (b[:, 2] - b[:, 0] >= 1e-2) \
+            & (b[:, 3] - b[:, 1] >= 1e-2)
+        cand_boxes.append(b[ok])
+        cand_scores.append(s[ok])
+        cand_labels.append(np.full(ok.sum(), c))
+    b = np.concatenate(cand_boxes)
+    s = np.concatenate(cand_scores)
+    l = np.concatenate(cand_labels)
+    top = np.argsort(-s)[:cand]
+    b, s, l = b[top], s[top], l[top]
+    keep = []
+    for c in np.unique(l):                    # per-class NMS
+        idx = np.where(l == c)[0]
+        keep += [idx[i] for i in _nms_np(b[idx], s[idx], 0.5)]
+    keep = np.asarray(keep, int)
+    keep = keep[np.argsort(-s[keep])][:max_det]
+    det_b, det_s, det_l = b[keep], s[keep], l[keep]
+
+    mroi = roi_align_oracle(feats_np, det_b, out=14)
+    with torch.no_grad():
+        mlog = twin.mask_outputs(
+            torch.tensor(mroi).permute(0, 3, 1, 2)).numpy()
+    msel = np.stack([mlog[i, det_l[i]] for i in range(len(det_l))]) \
+        if len(det_l) else np.zeros((0, 28, 28), np.float32)
+    return det_b, det_s, det_l, msel
+
+
+def test_composed_full_model_parity(twin_pair, rng):
+    """Whole image→detections chain, clipped to a 56x60 image inside
+    a 64x64 canvas (exercises the image-extent clipping, not the
+    padded canvas)."""
+    twin, variables = twin_pair
+    x = (rng.randn(1, 64, 64, 3) * 0.4).astype(np.float32)
+    ih, iw = 56, 60
+    pre, post, cand, max_det = 100, 50, 256, 10
+    wb, ws, wl, wm = _reference_detect(twin, x, ih, iw, pre, post,
+                                       cand, max_det)
+
+    model = MaskRCNN(pre_nms_top=pre, post_nms_top=post,
+                     box_candidates=cand, max_det=max_det)
+    out = model.apply(variables, jnp.asarray(x),
+                      jnp.asarray([ih, iw], jnp.float32))
+    v = np.asarray(out['valid'])
+    gb = np.asarray(out['boxes'])[v]
+    gs = np.asarray(out['scores'])[v]
+    gl = np.asarray(out['labels'])[v]
+    gm = np.asarray(out['masks'])[v]
+
+    assert len(gs) == len(ws), (len(gs), len(ws))
+    # both sides are already score-ordered by their NMS keep lists
+    np.testing.assert_allclose(gs, ws, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(gl, wl)
+    np.testing.assert_allclose(gb, wb, rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(gm, wm, rtol=2e-3, atol=3e-3)
