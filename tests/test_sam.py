@@ -146,3 +146,27 @@ def test_pipeline_sam_wiring():
     pipe.ensure_detector()
     assert isinstance(pipe._detector, SamDetector)
     assert pipe._detector.sam.capacity == cfg.max_instances
+
+
+def test_generate_state_with_sam_detector(rng):
+    """Full pipeline integration: a SamDetector installed on the
+    KenBurns pipeline populates the 'instances' stage preview and the
+    state builds end to end (the detector: sam config path at small
+    scale)."""
+    from cartoonsegmentation_tpu.config import KenBurnsConfig
+    from cartoonsegmentation_tpu.pipeline import (AnimeInsSeg,
+                                                  KenBurnsPipeline,
+                                                  NativeSAM,
+                                                  SamDetector)
+    cfg = KenBurnsConfig(max_size=48, num_frame=2, depth_field=False,
+                         point_capacity_factor=1.2,
+                         depth_est='default', playback=False,
+                         detector='sam', pred_score_thr=0.0)
+    pipe = KenBurnsPipeline(cfg)
+    pipe.set_detector(SamDetector(
+        AnimeInsSeg(det_size=64, max_instances=4),
+        NativeSAM(capacity=4, model=SAM(**TINY))))
+    img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+    state = pipe.generate_state(img)
+    assert 'instances' in pipe.stages
+    assert state.cloud.points.shape[-1] == 3
