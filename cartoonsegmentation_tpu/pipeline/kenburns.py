@@ -112,6 +112,26 @@ class KenBurnsPipeline:
             self._inpaint_vars = {
                 'params': C.convert_inpaint(C.load_torch_ckpt(inpaint))}
 
+    def load_detector_checkpoints(self, det: Optional[str] = None,
+                                  sam: Optional[str] = None) -> None:
+        """Route detector weights to the configured family:
+        animeinsseg (rtmdetl ckpt), sam (rtmdetl + sam_vit_*.pth),
+        or maskrcnn (torchvision COCO pth)."""
+        self.ensure_detector()
+        d = self._detector
+        if d is None:
+            raise ValueError("no detector configured (cfg.detector "
+                             "is 'none')")
+        from .maskrcnn_det import MaskRCNNDetector
+        from .sam import SamDetector
+        if isinstance(d, SamDetector):
+            d.load_torch_checkpoints(det_ckpt=det, sam_ckpt=sam)
+        elif isinstance(d, MaskRCNNDetector):
+            if det:
+                d.load_torch_checkpoint(det)
+        elif det:
+            d.load_torch_checkpoint(det)
+
     def load_leres_checkpoint(self, path: str) -> None:
         """res101.pth (ckpt['depth_model'], 'module.'-prefixed)."""
         from ..models.convert import load_torch_ckpt

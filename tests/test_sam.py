@@ -170,3 +170,18 @@ def test_generate_state_with_sam_detector(rng):
     state = pipe.generate_state(img)
     assert 'instances' in pipe.stages
     assert state.cloud.points.shape[-1] == 3
+
+
+def test_load_detector_checkpoints_routing():
+    """The pipeline-level loader routes to the configured family and
+    refuses when no detector is configured."""
+    from cartoonsegmentation_tpu.config import KenBurnsConfig
+    from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
+    cfg = KenBurnsConfig(max_size=48, detector='none')
+    pipe = KenBurnsPipeline(cfg)
+    with pytest.raises(ValueError):
+        pipe.load_detector_checkpoints()
+    pipe2 = KenBurnsPipeline(cfg.replace(detector='sam'))
+    pipe2.load_detector_checkpoints()      # None/None: builds, no-op
+    from cartoonsegmentation_tpu.pipeline.sam import SamDetector
+    assert isinstance(pipe2._detector, SamDetector)
