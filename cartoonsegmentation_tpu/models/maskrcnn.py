@@ -449,6 +449,20 @@ class MaskRCNN(nn.Module):
 # mask pasting (host-side, numpy — once per image)
 # ---------------------------------------------------------------------------
 
+def expand_boxes(boxes: np.ndarray, M: int) -> np.ndarray:
+    """torchvision roi_heads.expand_boxes + the .to(torch.int64) that
+    follows it in paste_masks_in_image: scale each box by (M+2)/M
+    about its center, then TRUNCATE toward zero (int64 cast — not
+    round; a fractional part >= 0.5 still floors)."""
+    scale = (M + 2.0) / M
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    hw = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
+    hh = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
+    return np.stack([cx - hw, cy - hh, cx + hw, cy + hh],
+                    1).astype(np.int64)
+
+
 def paste_masks(mask_logits: np.ndarray, boxes: np.ndarray,
                 h: int, w: int, thr: float = 0.5) -> np.ndarray:
     """torchvision paste_masks_in_image: pad the 28x28 probability by
@@ -457,13 +471,7 @@ def paste_masks(mask_logits: np.ndarray, boxes: np.ndarray,
     import cv2
     N, M = mask_logits.shape[:2]
     out = np.zeros((N, h, w), bool)
-    scale = (M + 2.0) / M
-    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
-    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
-    hw = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
-    hh = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
-    eb = np.stack([cx - hw, cy - hh, cx + hw, cy + hh], 1)
-    eb = np.round(eb).astype(np.int64)
+    eb = expand_boxes(boxes, M)
     prob = 1.0 / (1.0 + np.exp(-mask_logits.astype(np.float64)))
     for i in range(N):
         x1, y1, x2, y2 = eb[i]

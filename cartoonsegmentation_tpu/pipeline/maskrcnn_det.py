@@ -28,6 +28,23 @@ from ..models.maskrcnn import (MRCNN_MEAN, MRCNN_STD, MaskRCNN,
 from ..utils import LOGGER
 
 
+def normalize_pad(canvas_u8: jnp.ndarray, image_hw: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """uint8 /32-canvas → normalized f32 with a ZERO pad band.
+
+    torchvision's GeneralizedRCNNTransform normalizes FIRST
+    (transform.normalize) and batch_images zero-pads AFTER, so the
+    pad band the backbone sees is 0.0 — not (0 - mean)/std. Includes
+    the reference's (R, B, G) channel quirk (kenburns_effect.py:877:
+    ``img_tensor[0, [2, 0, 1]]`` of the BGR frame)."""
+    x = canvas_u8.astype(jnp.float32) / 255.0
+    x = x[..., jnp.asarray([2, 0, 1])]
+    x = (x - jnp.asarray(MRCNN_MEAN)) / jnp.asarray(MRCNN_STD)
+    yy = jnp.arange(canvas_u8.shape[0])[:, None] < image_hw[0]
+    xx = jnp.arange(canvas_u8.shape[1])[None, :] < image_hw[1]
+    return jnp.where((yy & xx)[..., None], x, 0.0)
+
+
 class MaskRCNNDetector:
     """img → Instances, pluggable into KenBurnsPipeline."""
 
@@ -67,11 +84,7 @@ class MaskRCNNDetector:
 
             @jax.jit
             def fn(variables, canvas_u8, image_hw):
-                x = canvas_u8.astype(jnp.float32) / 255.0
-                # reference channel quirk: (R, B, G) from BGR
-                x = x[..., jnp.asarray([2, 0, 1])]
-                x = (x - jnp.asarray(MRCNN_MEAN)) \
-                    / jnp.asarray(MRCNN_STD)
+                x = normalize_pad(canvas_u8, image_hw)
                 return model.apply(variables, x[None], image_hw)
             self._jit[(ch, cw)] = fn
         return self._jit[(ch, cw)]

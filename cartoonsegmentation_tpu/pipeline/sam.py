@@ -37,6 +37,23 @@ from ..utils import LOGGER
 _BUILDERS = {'vit_b': sam_vit_b, 'vit_l': sam_vit_l, 'vit_h': sam_vit_h}
 
 
+def normalize_pad(canvas_u8: jnp.ndarray, image_hw: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """uint8 letterbox canvas → normalized f32 with a ZERO pad band.
+
+    The official predictor normalizes FIRST and zero-pads after
+    (segment_anything Sam.preprocess: ``x = (x - mean) / std`` then
+    ``F.pad``), so the letterbox band the ViT's global-attention
+    blocks see is 0.0 — not ``-mean/std``. Normalizing the whole
+    canvas and masking rows/cols beyond ``image_hw`` reproduces that
+    order exactly."""
+    x = (canvas_u8.astype(jnp.float32)
+         - jnp.asarray(SAM_MEAN)) / jnp.asarray(SAM_STD)
+    yy = jnp.arange(canvas_u8.shape[0])[:, None] < image_hw[0]
+    xx = jnp.arange(canvas_u8.shape[1])[None, :] < image_hw[1]
+    return jnp.where((yy & xx)[..., None], x, 0.0)
+
+
 class NativeSAM:
     """segment_anything-predictor equivalent, boxes only."""
 
@@ -84,9 +101,8 @@ class NativeSAM:
             model = self.model
 
             @jax.jit
-            def enc(variables, canvas_u8):
-                x = (canvas_u8.astype(jnp.float32)
-                     - jnp.asarray(SAM_MEAN)) / jnp.asarray(SAM_STD)
+            def enc(variables, canvas_u8, image_hw):
+                x = normalize_pad(canvas_u8, image_hw)
                 return model.apply(variables, x[None],
                                    method=lambda m, v: m.encode(v))[0]
 
@@ -131,7 +147,8 @@ class NativeSAM:
         # and bounded at img_size^2*3 bytes regardless of source size.
         key = (img_bgr.shape, hash(canvas.tobytes()))
         if self._emb_key != key:
-            self._emb = enc(variables, jnp.asarray(canvas))
+            self._emb = enc(variables, jnp.asarray(canvas),
+                            jnp.asarray([nh, nw], jnp.int32))
             self._emb_key = key
 
         kb = np.zeros((self.capacity, 4), np.float32)

@@ -25,6 +25,19 @@ import numpy as np
 from ..utils import LOGGER
 
 
+def _box_detector(det):
+    """The AnimeInsSeg box detector inside a detector family, if any
+    ('animeinsseg' IS one; 'sam' wraps one; 'maskrcnn' has none)."""
+    from ..pipeline.sam import SamDetector
+    from ..pipeline.segment import AnimeInsSeg
+    if isinstance(det, AnimeInsSeg):
+        return det
+    if isinstance(det, SamDetector) \
+            and isinstance(det.box_detector, AnimeInsSeg):
+        return det.box_detector
+    return None
+
+
 class KenBurnsService:
     """Pipeline wrapper holding per-image cached state."""
 
@@ -38,7 +51,11 @@ class KenBurnsService:
         self.obj_to: Optional[Dict] = None
         self.frame_cache: Dict[float, bytes] = {}
         self.inpainted = False   # passes run for the CURRENT boxes
-        self.lock = threading.Lock()
+        # RLock: stage_list() is called both from handlers that
+        # already hold the lock (load_image, step_inpaint) and bare
+        # from GET /stages; it must itself lock against
+        # generate_state's stages.clear()+insert on another thread
+        self.lock = threading.RLock()
         # MJPEG playback state (naive_interface.py:27-34,131-173)
         self.times = np.linspace(0.0, 1.0,
                                  pipeline.cfg.num_frame).tolist()
@@ -81,7 +98,8 @@ class KenBurnsService:
         """Stage names in PIPELINE order (input → instances → depth
         stages → inpainted clouds by growing point count) so the
         stepping prev/next buttons walk the documented stage flow."""
-        keys = set(self.pipe.stages.keys())
+        with self.lock:
+            keys = set(self.pipe.stages.keys())
         out = [k for k in self._STAGE_ORDER if k in keys]
         inp = sorted((k for k in keys if k.startswith('inpainted_')),
                      key=lambda k: int(k.rsplit('_', 1)[1]))
@@ -184,6 +202,15 @@ class KenBurnsService:
                 carry.append('_detector')
             elif old._detector is not None:
                 new.ensure_detector()
+                # both the 'animeinsseg' and 'sam' families carry an
+                # AnimeInsSeg box detector — transfer its loaded
+                # weights across the switch so a runtime family
+                # change doesn't silently fall back to random init
+                ob = _box_detector(old._detector)
+                nb = _box_detector(new._detector)
+                if ob is not None and nb is not None \
+                        and ob._variables is not None:
+                    nb.load_variables(ob._variables)
             if not marigold_changed:
                 carry.append('_marigold')
             for attr in carry:

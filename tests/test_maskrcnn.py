@@ -415,3 +415,31 @@ def test_composed_full_model_parity(twin_pair, rng):
     np.testing.assert_array_equal(gl, wl)
     np.testing.assert_allclose(gb, wb, rtol=1e-3, atol=5e-3)
     np.testing.assert_allclose(gm, wm, rtol=2e-3, atol=3e-3)
+
+
+def test_normalize_pad_zero_after_normalize(rng):
+    """torchvision normalizes FIRST, then batch_images zero-pads: the
+    /32 band must be 0.0 post-normalization, with the reference's
+    (R, B, G) channel quirk applied to the image region."""
+    from cartoonsegmentation_tpu.pipeline.maskrcnn_det import \
+        normalize_pad
+    canvas = np.zeros((32, 64, 3), np.uint8)
+    canvas[:20, :40] = (rng.rand(20, 40, 3) * 255).astype(np.uint8)
+    out = np.asarray(normalize_pad(jnp.asarray(canvas),
+                                   jnp.asarray([20, 40], np.float32)))
+    x = canvas[:20, :40].astype(np.float32) / 255.0
+    exp = (x[..., [2, 0, 1]] - M.MRCNN_MEAN) / M.MRCNN_STD
+    np.testing.assert_allclose(out[:20, :40], exp, rtol=1e-5,
+                               atol=1e-6)
+    assert (out[20:] == 0.0).all() and (out[:, 40:] == 0.0).all()
+
+
+def test_expand_boxes_truncates_like_torchvision():
+    """paste_masks_in_image does expand_boxes(...).to(torch.int64):
+    truncation toward zero, NOT rounding — fractional parts >= 0.5
+    still floor. box [10.7, 6.3, 30.7, 22.3], M=28: expansion scale
+    30/28 gives (9.985, 5.729, 31.414, 22.871) -> (9, 5, 31, 22);
+    np.round would give (10, 6, 31, 23)."""
+    eb = M.expand_boxes(
+        np.array([[10.7, 6.3, 30.7, 22.3]], np.float32), 28)
+    assert eb.tolist() == [[9, 5, 31, 22]]

@@ -185,3 +185,19 @@ def test_load_detector_checkpoints_routing():
     pipe2.load_detector_checkpoints()      # None/None: builds, no-op
     from cartoonsegmentation_tpu.pipeline.sam import SamDetector
     assert isinstance(pipe2._detector, SamDetector)
+
+
+def test_normalize_pad_zero_after_normalize(rng):
+    """The letterbox band must be 0.0 AFTER normalization (official
+    Sam.preprocess normalizes first, then F.pad's zeros), not
+    -mean/std — the ViT's global attention mixes pad tokens into
+    every image token, so a wrong band corrupts the embedding."""
+    from cartoonsegmentation_tpu.models.sam import SAM_MEAN, SAM_STD
+    from cartoonsegmentation_tpu.pipeline.sam import normalize_pad
+    canvas = np.zeros((32, 32, 3), np.uint8)
+    canvas[:20, :24] = (rng.rand(20, 24, 3) * 255).astype(np.uint8)
+    out = np.asarray(normalize_pad(jnp.asarray(canvas),
+                                   jnp.asarray([20, 24], np.int32)))
+    exp = (canvas[:20, :24].astype(np.float32) - SAM_MEAN) / SAM_STD
+    np.testing.assert_allclose(out[:20, :24], exp, rtol=1e-6)
+    assert (out[20:] == 0.0).all() and (out[:, 24:] == 0.0).all()

@@ -446,3 +446,39 @@ def test_config_route_switches_pipeline(rng):
         assert svc.pipe._detector is not sentinel
     finally:
         srv.shutdown()
+
+
+def test_config_detector_switch_carries_box_weights():
+    """Switching the detector FAMILY at runtime transfers the loaded
+    AnimeInsSeg box-detector weights into the new family (both
+    'animeinsseg' and 'sam' carry one) instead of silently falling
+    back to random init."""
+    from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
+    from cartoonsegmentation_tpu.pipeline.sam import SamDetector
+    from cartoonsegmentation_tpu.serving.interface import \
+        KenBurnsService
+    cfg = KenBurnsConfig(max_size=48, num_frame=2, depth_field=False,
+                         point_capacity_factor=1.2,
+                         depth_est='default', playback=False,
+                         detector='animeinsseg')
+    pipe = KenBurnsPipeline(cfg)
+    pipe.ensure_detector()
+    marker = {'params': 'sentinel'}
+    pipe._detector.load_variables(marker)
+    svc = KenBurnsService(pipe)
+
+    svc.set_config({'detector': 'sam'})
+    d = svc.pipe._detector
+    assert isinstance(d, SamDetector)
+    assert d.box_detector._variables is marker
+
+    svc.set_config({'detector': 'animeinsseg'})
+    d2 = svc.pipe._detector
+    assert isinstance(d2, AnimeInsSeg)
+    assert d2._variables is marker
+
+    # maskrcnn has no AnimeInsSeg inside: switch must still work
+    svc.set_config({'detector': 'maskrcnn'})
+    from cartoonsegmentation_tpu.pipeline.maskrcnn_det import \
+        MaskRCNNDetector
+    assert isinstance(svc.pipe._detector, MaskRCNNDetector)
