@@ -88,16 +88,24 @@ class ResNeXt101(nn.Module):
 
 
 class FTB(nn.Module):
-    """Feature transform block (network_auxi.py:100-127)."""
+    """Feature transform block (network_auxi.py:100-125).
+
+    The reference's ``conv_branch`` STARTS with ``nn.ReLU(inplace=
+    True)`` whose in-place mutation rewrites the conv1 output before
+    the residual add — so the real skip connection is
+    ``relu(conv1(x))``, not ``conv1(x)``. Pinned by
+    tests/test_reference_source_parity.py::test_reference_leres,
+    which caught this (both our model and the twin originally used
+    the pre-relu skip)."""
     mid: int
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.mid, (3, 3), padding=1, use_bias=True,
                     name='conv1')(x)
-        b = nn.relu(x)
+        x = nn.relu(x)
         b = nn.Conv(self.mid, (3, 3), padding=1, use_bias=True,
-                    name='branch_conv0')(b)
+                    name='branch_conv0')(x)
         b = nn.BatchNorm(use_running_average=True, momentum=0.9,
                          epsilon=1e-5, name='branch_bn')(b)
         b = nn.relu(b)
@@ -178,11 +186,33 @@ def leres_postprocess(depth: jnp.ndarray) -> jnp.ndarray:
 # 'module.' prefixes; encoder = resnext101_32x8d schema)
 # ---------------------------------------------------------------------------
 
+def _normalize_leres_keys(sd) -> dict:
+    """res101.pth stores the RelDepthModel state dict: every tensor
+    lives under ``depth_model.encoder_modules.encoder.*`` (DepthNet
+    wraps the ResNeXt as ``.encoder`` — network_auxi.py:89-93) or
+    ``depth_model.decoder_modules.*`` (multi_depth_model_woauxi.py:
+    23-28), optionally behind a DataParallel ``module.`` prefix.
+    Collapse those to the bare ``encoder.`` / ``decoder.`` schema the
+    converter walks. Verified against the reference's own modules in
+    tests/test_reference_source_parity.py::test_reference_leres."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith('module.'):
+            k = k[len('module.'):]
+        if k.startswith('depth_model.'):
+            k = k[len('depth_model.'):]
+        if k.startswith('encoder_modules.encoder.'):
+            k = 'encoder.' + k[len('encoder_modules.encoder.'):]
+        elif k.startswith('decoder_modules.'):
+            k = 'decoder.' + k[len('decoder_modules.'):]
+        out[k] = v
+    return out
+
+
 def convert_leres(sd) -> dict:
     from .convert import _np
 
-    from .convert import strip_prefix
-    sd = strip_prefix(sd)
+    sd = _normalize_leres_keys(sd)
     params: dict = {}
     stats: dict = {}
 

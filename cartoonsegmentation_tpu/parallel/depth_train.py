@@ -24,41 +24,42 @@ import optax
 # ---------------------------------------------------------------------------
 
 def silog_loss(pred: jnp.ndarray, target: jnp.ndarray,
-               mask: jnp.ndarray, beta: float = 0.15,
-               variance_focus: float = 0.85) -> jnp.ndarray:
-    """SILog: sqrt(E[g²] − λ·E[g]²) · 10, g = log(pred) − log(gt),
-    over valid pixels (loss.py SILogLoss semantics)."""
-    eps = 1e-6
-    g = jnp.log(jnp.maximum(pred, eps)) - jnp.log(jnp.maximum(target,
-                                                              eps))
+               mask: jnp.ndarray, beta: float = 0.15) -> jnp.ndarray:
+    """SILog = 10·sqrt(Var[g] + β·E[g]²), g = log(pred+α) −
+    log(gt+α), α=1e-7, over valid pixels. Var is torch.var's
+    UNBIASED estimator (÷ n−1) — reference loss.py:42-84 semantics,
+    pinned by tests/test_reference_source_parity.py::
+    test_reference_losses."""
+    alpha = 1e-7
     m = mask.astype(pred.dtype)
-    n = jnp.maximum(m.sum(), 1.0)
-    mean_g = (g * m).sum() / n
-    mean_g2 = (g * g * m).sum() / n
-    return jnp.sqrt(jnp.maximum(
-        mean_g2 - variance_focus * mean_g ** 2, eps)) * 10.0
+    # where-select (not multiply) so log of masked-out garbage can
+    # never leak a NaN into the sums
+    g = jnp.where(m > 0,
+                  jnp.log(pred + alpha) - jnp.log(target + alpha), 0.0)
+    n = jnp.maximum(m.sum(), 2.0)
+    mean_g = g.sum() / n
+    var_g = (jnp.where(m > 0, (g - mean_g) ** 2, 0.0)).sum() / (n - 1.0)
+    return 10.0 * jnp.sqrt(var_g + beta * mean_g ** 2)
 
 
 def grad_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
-                 mask: jnp.ndarray, scales: int = 4) -> jnp.ndarray:
-    """Multi-scale gradient matching (loss.py GradL1Loss)."""
-    total = 0.0
-    p, t, m = pred, target, mask.astype(pred.dtype)
-    for s in range(scales):
-        dxp = jnp.abs(jnp.diff(p, axis=-2))
-        dxt = jnp.abs(jnp.diff(t, axis=-2))
-        mx = m[..., 1:, :] * m[..., :-1, :]
-        dyp = jnp.abs(jnp.diff(p, axis=-3))
-        dyt = jnp.abs(jnp.diff(t, axis=-3))
-        my = m[..., 1:, :, :] * m[..., :-1, :, :]
-        total = total + (jnp.abs(dxp - dxt) * mx).sum() \
-            / jnp.maximum(mx.sum(), 1.0) \
-            + (jnp.abs(dyp - dyt) * my).sum() / jnp.maximum(my.sum(), 1.0)
-        if s < scales - 1:
-            p = p[..., ::2, ::2, :]
-            t = t[..., ::2, ::2, :]
-            m = m[..., ::2, ::2, :]
-    return total
+                 mask: jnp.ndarray) -> jnp.ndarray:
+    """Gradient-magnitude + gradient-angle L1 on the shared [1:, 1:]
+    grid (reference loss.py:96-135 grad/grad_mask/GradL1Loss):
+    mag = dx² + dy², angle = atan(dy/(dx+1e-10)), both L1-averaged
+    over grad_mask(mask) = mask∧mask_left∧mask_up."""
+    def g(x):
+        dx = x[..., 1:, 1:, :] - x[..., 1:, :-1, :]
+        dy = x[..., 1:, 1:, :] - x[..., :-1, 1:, :]
+        return dx * dx + dy * dy, jnp.arctan(dy / (dx + 1e-10))
+
+    mag_p, ang_p = g(pred)
+    mag_t, ang_t = g(target)
+    m = (mask[..., 1:, 1:, :] * mask[..., 1:, :-1, :]
+         * mask[..., :-1, 1:, :]).astype(pred.dtype)
+    n = jnp.maximum(m.sum(), 1.0)
+    return ((jnp.abs(mag_p - mag_t) * m).sum()
+            + (jnp.abs(ang_p - ang_t) * m).sum()) / n
 
 
 def multi_side_bce(sides, target: jnp.ndarray,

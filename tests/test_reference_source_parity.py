@@ -364,3 +364,191 @@ def test_reference_isnet(rng):
     for js, ts in zip(jsides, tsides):
         np.testing.assert_allclose(np.asarray(js), _hwc(ts),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_reference_patch_transformer(rng):
+    """The ZoeDepth-NK router encoder against the reference's OWN
+    PatchTransformerEncoder (patch_transformer.py:29-92, pure torch):
+    1×1 patch embedding, zero class token padded at sequence START,
+    sin-block-then-cos-block positional encoding covering the token
+    position, 4 post-LN torch TransformerEncoder layers. The NK
+    full-model twin already uses the real torch TransformerEncoder;
+    this additionally pins the reference's pad/PE/flatten seams."""
+    ptm = _load_file('ref_patch_transformer',
+                     'depth_modules/zoedepth/models/layers/'
+                     'patch_transformer.py')
+    ref = ptm.PatchTransformerEncoder(
+        32, patch_size=1, embedding_dim=128, num_heads=4,
+        use_class_token=True).eval()
+    randomize_calibrated_(ref, seed=20)
+    sd = ref.state_dict()
+
+    def lin(k):
+        return sd[k].detach().numpy().T
+
+    P = {'embedding_convPxP': {
+        'kernel': sd['embedding_convPxP.weight'].detach().numpy()
+        .transpose(2, 3, 1, 0),
+        'bias': _np_t(sd['embedding_convPxP.bias'])}}
+    for i in range(4):
+        t = f'transformer_encoder.layers.{i}'
+        P[f'layer{i}'] = {
+            'in_proj_kernel': lin(f'{t}.self_attn.in_proj_weight'),
+            'in_proj_bias': _np_t(sd[f'{t}.self_attn.in_proj_bias']),
+            'out_proj': {'kernel': lin(f'{t}.self_attn.out_proj.weight'),
+                         'bias': _np_t(sd[f'{t}.self_attn.out_proj.bias'])},
+            'linear1': {'kernel': lin(f'{t}.linear1.weight'),
+                        'bias': _np_t(sd[f'{t}.linear1.bias'])},
+            'linear2': {'kernel': lin(f'{t}.linear2.weight'),
+                        'bias': _np_t(sd[f'{t}.linear2.bias'])},
+            'norm1': {'scale': _np_t(sd[f'{t}.norm1.weight']),
+                      'bias': _np_t(sd[f'{t}.norm1.bias'])},
+            'norm2': {'scale': _np_t(sd[f'{t}.norm2.weight']),
+                      'bias': _np_t(sd[f'{t}.norm2.bias'])},
+        }
+
+    x = rng.rand(2, 32, 6, 8).astype(np.float32)
+    with torch.no_grad():
+        tout = ref(_nchw(x))                       # (S, N, E)
+
+    from cartoonsegmentation_tpu.models.zoedepth import \
+        PatchTransformerEncoder
+    jout = PatchTransformerEncoder().apply(
+        {'params': P}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(jout).transpose(1, 0, 2), tout.numpy(),
+        rtol=2e-3, atol=2e-3)
+
+
+def _np_t(t):
+    return t.detach().numpy()
+
+
+def test_reference_losses(rng):
+    """Depth-training losses against the reference's OWN
+    trainers/loss.py: SILogLoss (torch.var is the UNBIASED estimator;
+    alpha=1e-7 ADDED inside the logs, not a clamp) and GradL1Loss
+    (single-scale mag+angle on the shared [1:,1:] grid over
+    grad_mask) — this test caught our grad_l1_loss being a different
+    (multi-scale |∇|-matching) algorithm entirely."""
+    lm = _load_file('ref_zoe_loss',
+                    'depth_modules/zoedepth/trainers/loss.py')
+    pred = rng.rand(2, 1, 12, 16).astype(np.float32) * 5 + 0.05
+    gt = rng.rand(2, 1, 12, 16).astype(np.float32) * 5 + 0.05
+    mask = rng.rand(2, 1, 12, 16) > 0.3
+    with torch.no_grad():
+        tsil = lm.SILogLoss()(torch.from_numpy(pred),
+                              torch.from_numpy(gt),
+                              mask=torch.from_numpy(mask))
+        tgl = lm.GradL1Loss()(torch.from_numpy(pred),
+                              torch.from_numpy(gt),
+                              mask=torch.from_numpy(mask))
+
+    from cartoonsegmentation_tpu.parallel.depth_train import (
+        grad_l1_loss, silog_loss)
+    jp = jnp.asarray(pred.transpose(0, 2, 3, 1))
+    jt = jnp.asarray(gt.transpose(0, 2, 3, 1))
+    jm = jnp.asarray(mask.transpose(0, 2, 3, 1))
+    np.testing.assert_allclose(float(silog_loss(jp, jt, jm)),
+                               float(tsil), rtol=1e-5)
+    np.testing.assert_allclose(float(grad_l1_loss(jp, jt, jm)),
+                               float(tgl), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# LeReS (depth_modules/leres) — pure torch
+# ---------------------------------------------------------------------------
+
+def _load_refleres(modname, subdir='leres'):
+    """Import depth_modules/leres/<subdir>/<modname> as part of a
+    synthetic package so relative imports resolve WITHOUT running the
+    depth_modules package __init__ (matplotlib/zoedepth/torchvision)."""
+    _ensure_stubs()
+    pkgname = f'refleres_{subdir}'
+    if pkgname not in sys.modules:
+        pkg = types.ModuleType(pkgname)
+        pkg.__path__ = [f'{REF}/depth_modules/leres/{subdir}']
+        sys.modules[pkgname] = pkg
+    return importlib.import_module(f'{pkgname}.{modname}')
+
+
+def test_reference_leres(rng):
+    """The reference's OWN ResNeXt101-32x8d trunk + FTB/FFM/AO decoder
+    (Resnext_torch.py / network_auxi.py), wrapped in the REAL
+    RelDepthModel attribute nesting (multi_depth_model_woauxi.py:23-33)
+    so the state dict reproduces the genuine res101.pth key layout.
+
+    This test caught a real bug: convert_leres AND the builder-authored
+    twin both expected bare 'encoder.*'/'decoder.*' keys while the
+    shipped checkpoint stores
+    'depth_model.encoder_modules.encoder.*' /
+    'depth_model.decoder_modules.*' — the real res101.pth would have
+    silently converted to an EMPTY param tree."""
+    na = _load_refleres('network_auxi')
+    import torch.nn as tnn
+
+    class DepthModelWrap(tnn.Module):
+        # multi_depth_model_woauxi.DepthModel minus net_tools.get_func
+        # (whose importlib path would pull the full package chain)
+        def __init__(self):
+            super().__init__()
+            self.encoder_modules = na.resnext101_stride32x8d()
+            self.decoder_modules = na.Decoder()
+
+    class RelWrap(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.depth_model = DepthModelWrap()
+
+        def forward(self, x):
+            dm = self.depth_model
+            return dm.decoder_modules(dm.encoder_modules(x))
+
+    ref = RelWrap().eval()
+    randomize_calibrated_(ref, seed=18)
+
+    from cartoonsegmentation_tpu.models.leres import (LeReS,
+                                                      convert_leres)
+    x = rng.rand(1, 3, 64, 64).astype(np.float32) * 2 - 0.5
+    with torch.no_grad():
+        tout = ref(_nchw(x))
+
+    variables = convert_leres(ref.state_dict())
+    # non-empty conversion (the bug above produced {} silently)
+    assert 'layer3_10' in variables['params']['encoder']
+    assert 'ffm0' in variables['params']['decoder']
+    # the reference takes the already-normalized tensor (estimateleres
+    # normalizes host-side, depthmap.py:16-46); our LeReS normalizes
+    # inside __call__ — undo it at the input
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    rgb01 = x.transpose(0, 2, 3, 1) * std + mean
+    jout = LeReS().apply(variables, jnp.asarray(rgb01))
+    np.testing.assert_allclose(np.asarray(jout), _hwc(tout),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_reference_pix2pix4depth(rng):
+    """The reference's OWN UnetGenerator (pix2pix/models/networks.py:
+    444-532) at norm='none', as built by Pix2Pix4DepthModel
+    (pix2pix4depth_model.py:63-64) — depth 7 instead of the shipped
+    'unet_1024' depth 10 to keep the CPU forward small; the recursive
+    UnetSkipConnectionBlock nesting and the ngf→8ngf width ladder are
+    identical at every depth ≥ 6 and the converter is parameterized
+    over num_downs."""
+    networks = _load_refleres('networks', subdir='pix2pix/models')
+    norm_layer = networks.get_norm_layer('none')
+    ref = networks.UnetGenerator(2, 1, 7, 64,
+                                 norm_layer=norm_layer).eval()
+    randomize_calibrated_(ref, seed=19)
+
+    from cartoonsegmentation_tpu.models.pix2pix4depth import (
+        Pix2Pix4Depth, convert_pix2pix4depth)
+    x = (rng.rand(1, 2, 128, 128).astype(np.float32) * 2 - 1)
+    with torch.no_grad():
+        tout = ref(_nchw(x))
+    jout = Pix2Pix4Depth(num_downs=7).apply(
+        convert_pix2pix4depth(ref.state_dict(), num_downs=7),
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jout), _hwc(tout),
+                               rtol=2e-3, atol=2e-3)

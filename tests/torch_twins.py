@@ -118,8 +118,13 @@ class TFTB(tnn.Module):
             tnn.Conv2d(mid, mid, 3, 1, 1, bias=True))
 
     def forward(self, x):
-        x = self.conv1(x)
-        return tF.relu(x + self.conv_branch(x))
+        # reference network_auxi.FTB: conv_branch[0] is ReLU(inplace=
+        # True) — the in-place mutation makes the residual skip the
+        # POST-relu tensor (see test_reference_source_parity.py)
+        x = tF.relu(self.conv1(x))
+        b = self.conv_branch[4](self.conv_branch[3](
+            self.conv_branch[2](self.conv_branch[1](x))))
+        return tF.relu(x + b)
 
 
 class TFFM(tnn.Module):
@@ -167,19 +172,40 @@ class TLeReSDecoder(tnn.Module):
                               align_corners=True)
 
 
+class _TLeReSDepthNet(tnn.Module):
+    """network_auxi.DepthNet naming: the ResNeXt trunk is ``encoder``."""
+
+    def __init__(self, layers):
+        super().__init__()
+        self.encoder = TResNeXt(layers)
+
+
+class _TLeReSDepthModel(tnn.Module):
+    """multi_depth_model_woauxi.DepthModel naming."""
+
+    def __init__(self, layers):
+        super().__init__()
+        self.encoder_modules = _TLeReSDepthNet(layers)
+        self.decoder_modules = TLeReSDecoder()
+
+
 class TorchLeReS(tnn.Module):
-    """RelDepthModel with res101.pth naming; forward takes rgb01 NCHW
-    and applies the ImageNet normalization like the flax LeReS."""
+    """RelDepthModel with the REAL res101.pth key nesting
+    (``depth_model.encoder_modules.encoder.*`` /
+    ``depth_model.decoder_modules.*`` — multi_depth_model_woauxi.py:
+    23-33, network_auxi.py:64-98); forward takes rgb01 NCHW and
+    applies the ImageNet normalization like the flax LeReS."""
 
     def __init__(self, layers=(3, 4, 23, 3)):
         super().__init__()
-        self.encoder = TResNeXt(layers)
-        self.decoder = TLeReSDecoder()
+        self.depth_model = _TLeReSDepthModel(layers)
 
     def forward(self, rgb01):
         mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
         std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-        return self.decoder(self.encoder((rgb01 - mean) / std))
+        dm = self.depth_model
+        return dm.decoder_modules(
+            dm.encoder_modules.encoder((rgb01 - mean) / std))
 
 
 # ---------------------------------------------------------------------------
