@@ -1,31 +1,64 @@
-"""Benchmark: the Ken Burns hot loop (the reference's headline
-workload — configs/3dkenburns.yaml defaults: 75 frames @ max_size
-1024 per clip, depth_field ON, run on one real TPU chip).
+"""Benchmark: the full flagship 3D-Ken-Burns workload (reference
+configs/3dkenburns.yaml defaults: detector + ISNet mask refine +
+LeReS depth + autozoom + 2 inpaint passes + 75 frames @ max_size
+1024 with depth-of-field, on one real TPU chip).
 
-Prints ONE JSON line:
+Prints the headline JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+IMMEDIATELY after the render measurement (so a later timeout cannot
+forfeit the number), then runs secondary phases behind a wall-clock
+budget (env BENCH_BUDGET_S, default 1500 s) and re-prints the same
+headline enriched with their results as the final line. Every phase
+logs a timestamp to stderr so a timeout is diagnosable (the r3 run
+died in an un-attributed 25-minute compile).
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is
 the real-time factor against the 25 fps output video rate — the
 reference pipeline renders well below 1.0x on its shipped defaults.
 
-Timing discipline: every phase is reported compile-separated (one
-warm-up run first), and the headline render fps is the shipped
-default workload (depth_field=True, discfill fast mode, bf16 splat
-payload). A no-DoF fps is reported alongside for comparison with
-round-1 numbers.
+Timing discipline: every phase is compile-separated (one warm-up run
+first), every re-timed execution perturbs its inputs with OS-entropy
+randomness (the runtime memoizes identical-input executions ACROSS
+processes — CLAUDE.md), and compiles go through a persistent
+on-disk cache (.jax_cache/) so a subsequent bench process on this
+machine skips them entirely.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+T0 = time.time()
+BUDGET = float(os.environ.get('BENCH_BUDGET_S', '1500'))
+
+
+def log(msg: str) -> None:
+    print(f'[bench +{time.time() - T0:7.1f}s] {msg}', file=sys.stderr,
+          flush=True)
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - T0)
 
 
 def main() -> None:
     import cv2
     import jax
+
+    try:
+        os.makedirs('.jax_cache', exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.abspath('.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+        log('persistent compilation cache: .jax_cache/')
+    except Exception as e:  # cache is an optimization, never a blocker
+        log(f'compilation cache unavailable: {e}')
 
     # The runtime memoizes executions by VALUE, and the cache persists
     # across processes; model weights are deterministically seeded, so
@@ -43,34 +76,58 @@ def main() -> None:
         img = (rng.rand(768, 1024, 3) * 255).astype(np.uint8)
 
     # the shipped default config (reference configs/3dkenburns.yaml:
-    # depth_field True, 75 frames, max_size 1024); depth net choice
-    # does not affect the render loop being measured
+    # detector animeinsseg + refinenet_isnet, depth leres, depth_field
+    # True, 75 frames, max_size 1024)
     cfg = build_kenburns_cfg('configs/3dkenburns.yaml').replace(
-        max_size=1024, num_frame=75, depth_est='default',
-        auto_zoom=True)
+        max_size=1024, num_frame=75, auto_zoom=True)
     assert cfg.depth_field, 'bench must run the shipped default'
+    assert cfg.detector == 'animeinsseg', \
+        'bench must run the instance-guided default'
     pipe = KenBurnsPipeline(cfg)
+    log(f'device: {jax.devices()[0]}; detector={cfg.detector} '
+        f'refine={cfg.refine_method} depth={cfg.depth_est} '
+        f'max_instances={cfg.max_instances}')
 
+    # --- phase 1: generate_state (detector fwd + ISNet refine + depth
+    # + instance adjust + point cloud) — compile pass, then a steady
+    # pass on a perturbed image for honest per-stage seconds.
+    pipe.ensure_detector()
+    log('generate_state: compile+run (detector on, RANDOM weights '
+        '— representative cost, not representative masks)')
     state = pipe.generate_state(img)
-    obj_from, obj_to = pipe.autozoom(state)
+    log(f'generate_state compile pass done: '
+        f'{ {k: round(v, 2) for k, v in pipe.timer.seconds.items()} }')
+    n_det = int(jax.device_get(state.instances.count()))
 
-    # inpaint passes: compile (first call) vs steady state (re-run on
-    # a fresh state built from a perturbed image so the runtime cannot
-    # memoize identical inputs)
-    def run_inpaint(st):
+    snap = dict(pipe.timer.seconds)
+    img_b = cv2.convertScaleAbs(
+        img, alpha=float(entropy.uniform(0.995, 0.9995)))
+    state_b = pipe.generate_state(img_b)
+    gen_steady = {k: round(pipe.timer.seconds[k] - snap.get(k, 0.0), 3)
+                  for k in pipe.timer.seconds}
+    log(f'generate_state steady pass: {gen_steady} '
+        f'(instances detected: {n_det})')
+
+    # --- phase 2: autozoom (already timed within generate flow)
+    log('autozoom')
+    obj_from, obj_to = pipe.autozoom(state)
+    obj_from_b, obj_to_b = pipe.autozoom(state_b)
+
+    # --- phase 3: inpaint passes — compile (first call) vs steady
+    # (re-run on the perturbed-image state so nothing memoizes)
+    def run_inpaint(st, o_f, o_t):
         t0 = time.time()
         for t in (0.0, 1.0):
-            su, sv, ds, _, _ = pipe._camera_params(t, obj_from, obj_to,
-                                                   st)
+            su, sv, ds, _, _ = pipe._camera_params(t, o_f, o_t, st)
             st = pipe.inpaint_pass(st, su, sv, ds)
         jax.block_until_ready(st.cloud.points)
         return st, time.time() - t0
 
-    state1, inpaint_compile_s = run_inpaint(state)
-    img2 = cv2.convertScaleAbs(
-        img, alpha=float(entropy.uniform(0.995, 0.9995)))
-    state2 = pipe.generate_state(img2)
-    state2, inpaint_steady_s = run_inpaint(state2)
+    log('inpaint passes: compile')
+    state1, inpaint_compile_s = run_inpaint(state, obj_from, obj_to)
+    log(f'inpaint compile pass: {inpaint_compile_s:.1f}s; steady')
+    _, inpaint_steady_s = run_inpaint(state_b, obj_from_b, obj_to_b)
+    log(f'inpaint steady pass: {inpaint_steady_s:.2f}s')
     state = pipe.compact_state(state1)
 
     steps = np.linspace(0.0, 1.0, cfg.num_frame)
@@ -94,186 +151,202 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return frames, best
 
-    frames_nodof, dt_nodof = bench_render(False)
+    # --- phase 4: the headline render (DoF on, shipped defaults)
+    log('render (depth_field=True): compile + 2 timed runs')
     frames, dt = bench_render(True)
     fps = cfg.num_frame / dt
+    log(f'render: {dt:.3f}s for {cfg.num_frame} frames = {fps:.2f} fps')
 
-    t0 = time.time()
-    host = np.asarray(jax.device_get(frames))
-    transfer_s = time.time() - t0
+    extra = {
+        'frame_shape': [int(s) for s in frames.shape],
+        'depth_field': True,
+        'detector_in_flagship': True,
+        'max_instances': cfg.max_instances,
+        'instances_detected_random_weights': n_det,
+        'gen_state_steady_s': gen_steady,
+        'inpaint_passes_compile_s': round(inpaint_compile_s, 3),
+        'inpaint_passes_steady_s': round(inpaint_steady_s, 3),
+        'render_s_total': round(dt, 3),
+        'device': str(jax.devices()[0]),
+    }
 
-    # I420 streaming path (device-side chroma subsample → 1.5 B/px
-    # over the link, decoded+encoded host-side while transferring).
-    # Best of 2: tunnel bandwidth occasionally stalls for tens of
-    # seconds mid-phase; a single sample can read 10x high.
-    from cartoonsegmentation_tpu.pipeline import stream_video
-    transfer_i420_s = np.inf
-    for k in range(2):
-        # frames are uint8; flip the LSB so the re-run cannot be a
-        # memoized replay (bench artifact only, not user output)
-        fk = frames if k == 0 else frames ^ np.uint8(1)
+    def headline():
+        return {
+            'metric': 'kenburns_render_fps_1024_default',
+            'value': round(fps, 3),
+            'unit': 'frames/sec',
+            'vs_baseline': round(fps / 25.0, 3),
+            'extra': extra,
+        }
+
+    # the number is safe from here on: print it NOW (the driver keeps
+    # the tail; the enriched final line replaces this one if reached)
+    print(json.dumps(headline()), flush=True)
+
+    skipped = []
+
+    def phase(name, min_budget_s, fn):
+        if remaining() < min_budget_s:
+            log(f'SKIP {name}: {remaining():.0f}s left < {min_budget_s}s')
+            skipped.append(name)
+            return
+        log(f'phase: {name} ({remaining():.0f}s budget left)')
+        try:
+            fn()
+        except Exception as e:
+            log(f'phase {name} FAILED: {e!r}')
+            skipped.append(f'{name} (error)')
+
+    # --- secondary phases, each behind the wall-clock budget --------
+    def p_render_nodof():
+        _, dt_nodof = bench_render(False)
+        extra['render_fps_no_dof'] = round(cfg.num_frame / dt_nodof, 3)
+    phase('render_no_dof', 240, p_render_nodof)
+
+    def p_transfer():
         t0 = time.time()
-        stream_video(fk, '/tmp/bench_stream.mp4', playback=False)
-        transfer_i420_s = min(transfer_i420_s, time.time() - t0)
+        np.asarray(jax.device_get(frames))
+        extra['host_transfer_s'] = round(time.time() - t0, 3)
+    phase('host_transfer', 60, p_transfer)
 
-    # the WHOLE clip, image -> mp4 (seg off, depth + autozoom +
-    # inpaint + chunked render overlapped with I420 transfer+encode):
-    # the reference's headline workload is this full path
-    # (run_kenburns.py:19-41). Steady state: second run, perturbed
-    # image so nothing memoizes.
-    pipe.run(img, '/tmp/bench_clip.mp4')          # compile any rest
-    img3 = cv2.convertScaleAbs(
-        img, alpha=float(entropy.uniform(0.99, 0.9945)))
-    t0 = time.time()
-    pipe.run(img3, '/tmp/bench_clip.mp4')
-    clip_wall_s = time.time() - t0
+    def p_stream():
+        # I420 streaming path (device-side chroma subsample → 1.5 B/px
+        # over the link, decoded+encoded host-side while transferring).
+        # Best of 2: tunnel bandwidth occasionally stalls mid-phase.
+        from cartoonsegmentation_tpu.pipeline import stream_video
+        best = np.inf
+        for k in range(2):
+            # flip the LSB so the re-run cannot be a memoized replay
+            fk = frames if k == 0 else frames ^ np.uint8(1)
+            t0 = time.time()
+            stream_video(fk, '/tmp/bench_stream.mp4', playback=False)
+            best = min(best, time.time() - t0)
+        extra['stream_i420_transfer_encode_s'] = round(best, 3)
+    phase('stream_i420', 90, p_stream)
 
-    # render+transfer+encode overlap alone (state already built).
-    # obj_from is entropy-perturbed: state/cams/steps are otherwise
-    # value-identical to the pipe.run() above and the cross-process
-    # memoization would replay the chunk executions in ~0 time.
-    o_pert = dict(obj_from)
-    o_pert['center_u'] = obj_from['center_u'] \
-        + float(entropy.uniform(0.005, 0.02))
-    t0 = time.time()
-    pipe.render_frames_stream(state, o_pert, obj_to, steps,
-                              '/tmp/bench_stream2.mp4')
-    stream_overlap_s = time.time() - t0
+    def p_clip():
+        # the WHOLE clip, image → mp4 (detector + refine + depth +
+        # autozoom + inpaint + chunked render overlapped with I420
+        # transfer+encode): the reference's headline workload
+        # (run_kenburns.py:19-41). Steady state: second run, perturbed
+        # image so nothing memoizes.
+        log('clip: compile any rest (streaming render fns)')
+        pipe.run(img, '/tmp/bench_clip.mp4')
+        img3 = cv2.convertScaleAbs(
+            img, alpha=float(entropy.uniform(0.99, 0.9945)))
+        log('clip: steady timed run')
+        t0 = time.time()
+        pipe.run(img3, '/tmp/bench_clip.mp4')
+        extra['clip_wall_s'] = round(time.time() - t0, 3)
+    phase('clip_wall', 300, p_clip)
 
-    # secondary: detector forward throughput at 640 in f32 AND bf16
-    # (scan-chained so tunnel dispatch latency doesn't pollute it;
-    # bf16-vs-f32 head agreement is asserted in tests/test_detector.py)
+    def p_det_bench():
+        f, co, tf = det_bench(img, entropy, 'bfloat16', batch=1)
+        extra['detector_fwd_fps_640_bf16'] = round(f, 2)
+        if remaining() > 180:
+            f16, co16, tf16 = det_bench(img, entropy, 'bfloat16',
+                                        batch=16)
+            extra['detector_fwd_fps_640_bf16_b16'] = round(f16, 2)
+            extra['detector_b16_tflops'] = \
+                round(tf16, 2) if tf16 else None
+    phase('det_bench', 240, p_det_bench)
+
+    log(f'done in {time.time() - T0:.0f}s; skipped: {skipped}')
+    extra['skipped_phases'] = skipped
+    print(json.dumps(headline()), flush=True)
+
+
+def det_bench(img, entropy, dtype, batch=1):
+    """Detector forward throughput at 640 (secondary metric).
+
+    Transfer-inclusive throughput + a compute-only estimate.
+
+    Timing hazards on this runtime, and how each is handled:
+    - identical-input executions are memoized → every timed call
+      transfers a FRESHLY perturbed host array (device-resident
+      perturbation has been observed to still memoize);
+    - that H2D transfer pollutes the timing (batch·1.2 MB of
+      uint8 canvas through the tunnel — normalization happens on
+      device, pipeline/segment.py normalize_canvas) → the
+      compute-only figure is the DIFFERENCE of two scan lengths
+      with identical transfers;
+    - XLA could hoist a repeated forward out of the scan → each
+      step's input is chained to the previous step's output.
+    The inclusive figure is a lower bound on real throughput and
+    is what gets REPORTED; the differenced compute-only estimate
+    is returned separately and discarded when timing noise makes
+    it unphysical (> 25 TFLOP/s — 2x the best sustained matmul
+    rate ever measured through this tunnel; the chip is
+    virtualized/time-sliced well below v5e paper peak).
+    """
+    import jax
     import jax.numpy as jnp
     from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
+    from cartoonsegmentation_tpu.pipeline.segment import normalize_canvas
 
-    def det_bench(dtype, batch=1):
-        """Transfer-inclusive throughput + a compute-only estimate.
+    seg = AnimeInsSeg(det_size=640, dtype=dtype)
+    x, _, _ = seg._preprocess(img)        # uint8 canvas (1.2 MB)
+    x = np.repeat(x, batch, axis=0)
+    variables = seg._ensure_variables()
+    l1, l2 = (4, 12) if batch == 1 else (2, 6)
 
-        Timing hazards on this runtime, and how each is handled:
-        - identical-input executions are memoized → every timed call
-          transfers a FRESHLY perturbed host array (device-resident
-          perturbation has been observed to still memoize);
-        - that H2D transfer pollutes the timing (batch·1.2 MB of
-          uint8 canvas through the tunnel — normalization happens on
-          device, pipeline/segment.py normalize_canvas) → the
-          compute-only figure is the DIFFERENCE of two scan lengths
-          with identical transfers;
-        - XLA could hoist a repeated forward out of the scan → each
-          step's input is chained to the previous step's output.
-        The inclusive figure is a lower bound on real throughput and
-        is what gets REPORTED; the differenced compute-only estimate
-        is returned separately and discarded when timing noise makes
-        it unphysical (> 25 TFLOP/s — 2x the best sustained matmul
-        rate ever measured through this tunnel; the chip is
-        virtualized/time-sliced well below v5e paper peak).
-        """
-        seg = AnimeInsSeg(det_size=640, dtype=dtype)
-        from cartoonsegmentation_tpu.pipeline.segment import \
-            normalize_canvas
-        x, _, _ = seg._preprocess(img)        # uint8 canvas (1.2 MB)
-        x = np.repeat(x, batch, axis=0)
-        variables = seg._ensure_variables()
-        l1, l2 = (4, 12) if batch == 1 else (2, 6)
+    def make_scan(length):
+        @jax.jit
+        def det_scan(variables, x0):
+            def step(carry, _):
+                xc, inj = carry
+                out = seg.model.apply(variables, xc + inj)
+                return (xc, out[0][0].mean() * 1e-12), \
+                    out[1][0].mean()
+            _, outs = jax.lax.scan(
+                step, (normalize_canvas(x0), jnp.float32(0)), None,
+                length=length)
+            return outs
+        return det_scan
 
-        def make_scan(length):
-            @jax.jit
-            def det_scan(variables, x0):
-                def step(carry, _):
-                    xc, inj = carry
-                    out = seg.model.apply(variables, xc + inj)
-                    return (xc, out[0][0].mean() * 1e-12), \
-                        out[1][0].mean()
-                _, outs = jax.lax.scan(
-                    step, (normalize_canvas(x0), jnp.float32(0)), None,
-                    length=length)
-                return outs
-            return det_scan
-
-        scan1, scan2 = make_scan(l1), make_scan(l2)
-        flops = None
-        try:
-            ca = scan2.lower(variables, jnp.asarray(x)) \
-                .compile().cost_analysis()
-            if isinstance(ca, list):
-                ca = ca[0]
-            flops = ca.get('flops')
-        except Exception:
-            pass
-        for s in (scan1, scan2):                       # compile both
-            jax.block_until_ready(s(variables, jnp.asarray(x)))
-
-        def run_once(scan):
-            # fresh OS-entropy LSB noise per call keeps the canvas
-            # uint8 (1.2 MB H2D like the real infer() path) while
-            # still defeating the value-keyed execution memoization
-            xi = x ^ entropy.integers(0, 2, x.shape).astype(x.dtype)
-            t0 = time.time()
-            jax.block_until_ready(scan(variables, jnp.asarray(xi)))
-            return time.time() - t0
-
-        # back-to-back (l1, l2) pairs share a tunnel-latency regime,
-        # so the per-pair difference isolates the extra (l2-l1)
-        # forwards; the median over pairs rejects regime shifts
-        diffs, t2s = [], []
-        for k in range(4):
-            ta = run_once(scan1)
-            tb = run_once(scan2)
-            t2s.append(tb)
-            diffs.append(tb - ta)
-        fps_incl = l2 * batch / min(t2s)
-        flops_per_img = flops / l2 / batch if flops else None
-        fps_diff = None
-        dt = float(np.median(diffs))
-        if dt > 0.01:
-            cand = (l2 - l1) * batch / dt
-            if (flops_per_img is not None
-                    and cand * flops_per_img < 25e12):
-                fps_diff = cand
-        best = max(fps_incl, fps_diff or 0.0)
-        tflops = best * flops_per_img / 1e12 if flops_per_img else None
-        return fps_incl, fps_diff, tflops
-
-    det_fps_f32, det_co_f32, _ = det_bench(None)
+    scan1, scan2 = make_scan(l1), make_scan(l2)
+    flops = None
     try:
-        det_fps_bf16, det_co_bf16, _ = det_bench('bfloat16')
+        ca = scan2.lower(variables, jnp.asarray(x)) \
+            .compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = ca.get('flops')
     except Exception:
-        det_fps_bf16 = det_co_bf16 = None
-    # throughput-bound: DP batch on one chip (pipeline/segment.py
-    # infer_batch is the multi-chip path; the forward itself batches)
-    det_fps_b16, det_co_b16, det_tflops_b16 = det_bench(
-        'bfloat16', batch=16)
+        pass
+    for s in (scan1, scan2):                       # compile both
+        jax.block_until_ready(s(variables, jnp.asarray(x)))
 
-    result = {
-        'metric': 'kenburns_render_fps_1024_default',
-        'value': round(fps, 3),
-        'unit': 'frames/sec',
-        'vs_baseline': round(fps / 25.0, 3),
-        'extra': {
-            'frame_shape': list(host.shape),
-            'depth_field': True,
-            'render_fps_no_dof': round(cfg.num_frame / dt_nodof, 3),
-            'inpaint_passes_compile_s': round(inpaint_compile_s, 3),
-            'inpaint_passes_steady_s': round(inpaint_steady_s, 3),
-            'render_s_total': round(dt, 3),
-            'host_transfer_s': round(transfer_s, 3),
-            'stream_i420_transfer_encode_s': round(transfer_i420_s, 3),
-            'device': str(jax.devices()[0]),
-            'detector_fwd_fps_640_f32': round(det_fps_f32, 2),
-            'detector_fwd_fps_640_bf16':
-                round(det_fps_bf16, 2) if det_fps_bf16 else None,
-            'detector_fwd_fps_640_bf16_b16': round(det_fps_b16, 2),
-            'detector_computeonly_fps': {
-                k: round(v, 2) if v else None
-                for k, v in (('f32', det_co_f32),
-                             ('bf16', det_co_bf16),
-                             ('bf16_b16', det_co_b16))},
-            'detector_b16_tflops':
-                round(det_tflops_b16, 2) if det_tflops_b16 else None,
-            'clip_wall_s': round(clip_wall_s, 3),
-            'stream_overlap_s': round(stream_overlap_s, 3),
-        },
-    }
-    print(json.dumps(result))
+    def run_once(scan):
+        # fresh OS-entropy LSB noise per call keeps the canvas
+        # uint8 (1.2 MB H2D like the real infer() path) while
+        # still defeating the value-keyed execution memoization
+        xi = x ^ entropy.integers(0, 2, x.shape).astype(x.dtype)
+        t0 = time.time()
+        jax.block_until_ready(scan(variables, jnp.asarray(xi)))
+        return time.time() - t0
+
+    # back-to-back (l1, l2) pairs share a tunnel-latency regime,
+    # so the per-pair difference isolates the extra (l2-l1)
+    # forwards; the median over pairs rejects regime shifts
+    diffs, t2s = [], []
+    for k in range(4):
+        ta = run_once(scan1)
+        tb = run_once(scan2)
+        t2s.append(tb)
+        diffs.append(tb - ta)
+    fps_incl = l2 * batch / min(t2s)
+    flops_per_img = flops / l2 / batch if flops else None
+    fps_diff = None
+    dt = float(np.median(diffs))
+    if dt > 0.01:
+        cand = (l2 - l1) * batch / dt
+        if (flops_per_img is not None
+                and cand * flops_per_img < 25e12):
+            fps_diff = cand
+    best = max(fps_incl, fps_diff or 0.0)
+    tflops = best * flops_per_img / 1e12 if flops_per_img else None
+    return fps_incl, fps_diff, tflops
 
 
 if __name__ == '__main__':

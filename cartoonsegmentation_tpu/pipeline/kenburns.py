@@ -35,7 +35,8 @@ from ..ops.discfill3 import fill_disocclusion_fast3
 from ..ops.filters import valid_depth_mask
 from ..ops.pointcloud import depth_to_points, render_pointcloud
 from ..utils import LOGGER, crop_center_resize, scaledown_maxsize
-from .depth import adjust_disparity_by_instances, colorize_gray_r
+from .depth import (adjust_disparity_by_instances, colorize_gray_r,
+                    masked_median_u8)
 from .state import KenBurnsState, PointCloud
 
 
@@ -917,15 +918,13 @@ class KenBurnsPipeline:
                     render, render[..., 3] * (existing[..., 0] > 0))
                 depth_r = colorize_gray_r(filled[..., 3])
                 has_ins = state.instances.count() > 0
-                # median depth per instance; take the max
-                def ins_median(mask, v):
-                    vals = jnp.where(mask, depth_r, jnp.inf)
-                    s = jnp.sort(vals.reshape(-1))
-                    cnt = jnp.sum(mask).astype(jnp.int32)
-                    med = s[jnp.maximum((cnt - 1) // 2, 0)]
-                    return jnp.where(v & (cnt > 0), med, -jnp.inf)
-                meds = jax.vmap(ins_median)(state.instances.masks,
-                                            state.instances.valid)
+                # median depth per instance (histogram matmul — at
+                # the 100-instance reference capacity, 100 vmapped
+                # O(HW log HW) sorts would dominate the once-per-clip
+                # focal-plane setup); take the max
+                meds = masked_median_u8(depth_r,
+                                        state.instances.masks,
+                                        state.instances.valid)
                 fp_end = jnp.where(has_ins, jnp.max(meds), 255.0)
                 fp_start = jnp.where(
                     has_ins,
@@ -1100,9 +1099,15 @@ class KenBurnsPipeline:
             video_path: Optional[str] = None) -> np.ndarray:
         """Full flagship path: image → frames (→ optional mp4).
 
+        The configured detector is always installed first — the
+        reference's generate_kenburns_config unconditionally runs
+        instance segmentation (kenburns_effect.py:915); set
+        cfg.detector='none' to opt out.
+
         With a video path, the device→host frame transfer is streamed
         in chunks overlapped with mp4 encoding (the tunnel-bound
         transfer otherwise serializes after the render)."""
+        self.ensure_detector()
         state = self.generate_state(img)
         obj_from, obj_to = self.autozoom(state)
         if video_path:

@@ -21,9 +21,10 @@ def main():
     ap.add_argument('--verbose', action='store_true',
                     help='dump intermediate stages (depth, inpaint)')
     ap.add_argument('--no-depth-field', action='store_true')
-    ap.add_argument('--with-detector', action='store_true',
-                    help='run instance segmentation (needs converted '
-                         'weights for useful masks)')
+    ap.add_argument('--no-detector', action='store_true',
+                    help='skip instance segmentation (the reference '
+                         'always segments; without converted weights '
+                         'masks are random — use this to opt out)')
     ap.add_argument('--profile', action='store_true',
                     help='print the per-stage wall-time table when done')
     ap.add_argument('--trace-dir', default='',
@@ -40,9 +41,10 @@ def main():
     cfg = build_kenburns_cfg(args.cfg)
     if args.no_depth_field:
         cfg = cfg.replace(depth_field=False)
+    if args.no_detector:
+        cfg = cfg.replace(detector='none')
     pipe = KenBurnsPipeline(cfg)
-    if args.with_detector:
-        pipe.ensure_detector()
+    pipe.ensure_detector()
 
     os.makedirs(args.save_dir, exist_ok=True)
     name = osp.splitext(osp.basename(args.input_img))[0]

@@ -15,9 +15,9 @@ def main():
     ap.add_argument('--cfg', default='configs/3dkenburns.yaml')
     ap.add_argument('--input-dir', required=True)
     ap.add_argument('--save-dir', default='workspace/output')
-    ap.add_argument('--with-detector', action='store_true',
-                    help='run instance segmentation (needs converted '
-                         'weights for useful masks)')
+    ap.add_argument('--no-detector', action='store_true',
+                    help='skip instance segmentation (the reference '
+                         'always segments)')
     args = ap.parse_args()
 
     from cartoonsegmentation_tpu.config import build_kenburns_cfg
@@ -25,9 +25,10 @@ def main():
                                                   write_video)
 
     cfg = build_kenburns_cfg(args.cfg)
+    if args.no_detector:
+        cfg = cfg.replace(detector='none')
     pipe = KenBurnsPipeline(cfg)
-    if args.with_detector:
-        pipe.ensure_detector()
+    pipe.ensure_detector()
 
     os.makedirs(args.save_dir, exist_ok=True)
     imgs = sorted(

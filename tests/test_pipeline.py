@@ -75,7 +75,7 @@ def test_kenburns_run_video_path(rng, tmp_path):
     Parity: the whole of reference run_kenburns.py:19-41."""
     import cv2
     cfg = KenBurnsConfig(max_size=64, num_frame=4, depth_field=False,
-                         point_capacity_factor=1.5,
+                         point_capacity_factor=1.5, detector='none',
                          discfill_max_steps=16, playback=False)
     pipe = KenBurnsPipeline(cfg)
     img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
@@ -229,3 +229,78 @@ def test_render_frames_stream_matches_batch(rng, tmp_path):
     # playback palindrome: 5 forward + 3 reversed interior
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
     cap.release()
+
+
+def test_run_installs_detector_by_default(rng, tmp_path):
+    """run() always segments like the reference's
+    generate_kenburns_config (kenburns_effect.py:915): the configured
+    detector is auto-installed and its stage lands in the timer and
+    stage previews."""
+    from cartoonsegmentation_tpu.config import KenBurnsConfig
+    cfg = KenBurnsConfig(max_size=64, det_size=64, num_frame=2,
+                         depth_field=False, depth_est='default',
+                         refine_method='none', max_instances=4,
+                         point_capacity_factor=1.5, playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    frames = pipe.run(img)
+    assert frames.shape == (2, 48, 64, 3)
+    assert pipe._detector is not None
+    assert pipe.timer.seconds.get('detector', 0) > 0
+    assert 'instances' in pipe.stages
+
+
+def test_masked_median_u8_oracle(rng):
+    """Histogram median == numpy lower-median over rounded values,
+    per instance; invalid or empty slots give -inf."""
+    import jax.numpy as jnp
+    from cartoonsegmentation_tpu.pipeline.depth import masked_median_u8
+
+    H, W = 13, 17
+    vals = (rng.rand(H, W) * 255).astype(np.float32)
+    N = 5
+    masks = rng.rand(N, H, W) > 0.6
+    masks[3] = False                     # valid but empty mask
+    valid = np.array([1, 1, 0, 1, 1], bool)
+    got = np.asarray(masked_median_u8(
+        jnp.asarray(vals), jnp.asarray(masks), jnp.asarray(valid),
+        chunk=64))
+    q = np.clip(np.round(vals), 0, 255)
+    for i in range(N):
+        if not valid[i] or not masks[i].any():
+            assert got[i] == -np.inf, i
+        else:
+            s = np.sort(q[masks[i]])
+            assert got[i] == s[(len(s) - 1) // 2], i
+
+
+def test_capacity_100_group_shot(rng):
+    """Reference-parity instance capacity: 40 instances (past the old
+    16 cap) flow through adjust → focal-plane median → render without
+    being dropped (reference infer caps at 100,
+    animeinsseg/__init__.py:417)."""
+    H, W = 40, 48
+    n = 40
+    masks = np.zeros((n, H, W), bool)
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        y, x = (i // 8) * 5, (i % 8) * 6
+        masks[i, y:y + 4, x:x + 5] = True
+        boxes[i] = [x, y, 5, 4]
+    ins = Instances.from_numpy(masks, boxes, capacity=100)
+    assert int(ins.count()) == 40
+
+    cfg = KenBurnsConfig(max_size=48, num_frame=2, depth_field=True,
+                         dof_num_samples=4, point_capacity_factor=1.2,
+                         discfill_max_steps=8, depth_est='default',
+                         detector='none')
+    assert cfg.max_instances == 100      # shipped default
+    pipe = KenBurnsPipeline(cfg)
+    img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    state = pipe.generate_state(img, instances=ins)
+    assert int(state.instances.count()) == 40   # nothing dropped
+    obj_from, obj_to = pipe.autozoom(state)
+    frames = pipe.process_kenburns(state, obj_from, obj_to,
+                                   inpaint=False)
+    assert frames.shape == (2, H, W, 3)
+    assert np.isfinite(frames.astype(np.float32)).all()
