@@ -40,7 +40,12 @@ class KenBurnsConfig:
     det_size: int = 640
     pred_score_thr: float = 0.3
     mask_thr: float = 0.3
-    max_instances: int = 16                 # static instance capacity
+    # static instance capacity — the reference's infer() caps at 100
+    # (animeinsseg/__init__.py:417). Lower it as a speed knob: refine
+    # cost already scales with detections (not capacity), but the
+    # detector postprocess / mask-resize and the per-clip instance
+    # scans are proportional to this.
+    max_instances: int = 100
     refine_method: str = 'refinenet_isnet'  # refinenet_isnet | animeseg | none
     refine_size: int = 720
 

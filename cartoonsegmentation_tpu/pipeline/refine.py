@@ -48,6 +48,14 @@ class ISNetRefiner:
     # ------------------------------------------------------------------
     def __call__(self, instances: Instances, img_bgr: np.ndarray
                  ) -> Instances:
+        """Refine every VALID instance; cost is proportional to the
+        number of detections, not the static capacity. Valid slots
+        are packed to the front (host-side stable argsort) and a
+        dynamic-trip-count fori_loop runs ceil(n_valid/chunk) ISNet
+        chunks — one compiled program per (capacity, size) bucket
+        regardless of how many instances an image has. The reference
+        batches only actual instances the same way
+        (animeinsseg/__init__.py:638-665, batch 4)."""
         if instances.is_empty_host():
             return instances
         H, W = img_bgr.shape[:2]
@@ -55,43 +63,53 @@ class ISNetRefiner:
         nh, nw = scaledown_size(H, W, S)
         N = instances.capacity
 
+        valid_h = np.asarray(jax.device_get(instances.valid))
+        n_valid = int(valid_h.sum())
+        if n_valid == 0:
+            return instances
+        # valid slots first; stable so slot order is preserved
+        order = np.argsort(~valid_h, kind='stable').astype(np.int32)
+
         key = (N, S, H, W)
         if key not in self._jit_cache:
-            net, chunk, thr = self.net, self.chunk, self.mask_thr
+            net, thr = self.net, self.mask_thr
+            c = min(self.chunk, N)
 
             @jax.jit
-            def fn(variables, image_small, masks, valid):
+            def fn(variables, image_small, masks, valid, order,
+                   n_valid):
                 # image_small: (nh, nw, 3) float; pad bottom/right to S
                 img = jnp.pad(image_small,
                               ((0, S - nh), (0, S - nw), (0, 0)))
-                m = jax.image.resize(masks.astype(jnp.float32),
-                                     (N, nh, nw), method='linear')
-                m = jnp.pad(m, ((0, 0), (0, S - nh), (0, S - nw)))
-                batch = jnp.concatenate(
-                    [jnp.broadcast_to(img[None], (N, S, S, 3)),
-                     m[..., None]], -1)
+                imgb = jnp.broadcast_to(img[None], (c, S, S, 3))
 
-                def run(chunk_batch):
-                    sides, _ = net.apply(variables, chunk_batch)
-                    return jax.nn.sigmoid(sides[0][..., 0])
+                def body(i, out):
+                    # chunks near the tail clamp and re-refine a few
+                    # already-done slots — idempotent, so harmless
+                    sel = jax.lax.dynamic_slice(order, (i * c,), (c,))
+                    m = masks[sel].astype(jnp.float32)
+                    m = jax.image.resize(m, (c, nh, nw),
+                                         method='linear')
+                    m = jnp.pad(m, ((0, 0), (0, S - nh), (0, S - nw)))
+                    batch = jnp.concatenate([imgb, m[..., None]], -1)
+                    sides, _ = net.apply(variables, batch)
+                    preds = jax.nn.sigmoid(sides[0][..., 0])
+                    preds = preds[:, :nh, :nw, None]
+                    preds = resize_bilinear_ac(preds, H, W)[..., 0]
+                    newm = (preds > thr) & valid[sel][:, None, None]
+                    return out.at[sel].set(newm)
 
-                c = min(chunk, N)
-                nchunks = -(-N // c)            # ceil: every slot runs
-                pad = nchunks * c - N
-                padded = jnp.pad(batch, ((0, pad), (0, 0), (0, 0), (0, 0)))
-                preds = jax.lax.map(
-                    run, padded.reshape(nchunks, c, S, S, 4))
-                preds = preds.reshape(-1, S, S)[:N]
-                preds = preds[:, :nh, :nw, None]
-                preds = resize_bilinear_ac(preds, H, W)[..., 0]
-                return (preds > thr) & valid[:, None, None]
+                nchunks = (n_valid + c - 1) // c
+                return jax.lax.fori_loop(
+                    0, nchunks, body, jnp.zeros((N, H, W), jnp.bool_))
             self._jit_cache[key] = fn
 
         small = jax.image.resize(
             jnp.asarray(img_bgr.astype(np.float32) / 255.0),
             (nh, nw, 3), method='linear')
         new_masks = self._jit_cache[key](
-            self._vars(), small, instances.masks, instances.valid)
+            self._vars(), small, instances.masks, instances.valid,
+            jnp.asarray(order), jnp.int32(n_valid))
         return instances.replace(masks=new_masks)
 
 

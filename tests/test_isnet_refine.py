@@ -111,3 +111,36 @@ def test_modnet_forward_and_refiner(rng):
     assert d.shape == (1, 64, 64, 1)
     assert m.shape == (1, 64, 64, 1)
     assert np.isfinite(np.asarray(m)).all()
+
+
+def test_isnet_refiner_packed_matches_dense(rng):
+    """The packed fori_loop (cost ∝ valid count) refines exactly the
+    masks a snug-capacity run produces: packing/scatter must not
+    change any refined mask, and untouched invalid slots stay empty."""
+    img = (rng.rand(40, 60, 3) * 255).astype(np.uint8)
+    masks = np.zeros((6, 40, 60), bool)
+    masks[1, 5:25, 10:30] = True
+    masks[4, 15:35, 25:55] = True
+    bboxes = np.zeros((6, 4), np.float32)
+    bboxes[1] = [10, 5, 20, 20]
+    bboxes[4] = [25, 15, 30, 20]
+    valid = np.zeros(6, bool)
+    valid[[1, 4]] = True
+    ins = Instances(masks=jnp.asarray(masks), bboxes=jnp.asarray(bboxes),
+                    scores=jnp.asarray(valid, jnp.float32),
+                    valid=jnp.asarray(valid))
+
+    ref = ISNetRefiner(refine_size=64, chunk=2)
+    out = ref(ins, img)
+    assert out.masks.shape == (6, 40, 60)
+    # invalid slots untouched (all-False)
+    got = np.asarray(out.masks)
+    assert not got[[0, 2, 3, 5]].any()
+
+    # dense reference: same weights (same seed), snug capacity 2
+    ins2 = Instances.from_numpy(masks[[1, 4]],
+                                bboxes[[1, 4]], capacity=2)
+    ref2 = ISNetRefiner(refine_size=64, chunk=2)
+    out2 = ref2(ins2, img)
+    np.testing.assert_array_equal(got[1], np.asarray(out2.masks)[0])
+    np.testing.assert_array_equal(got[4], np.asarray(out2.masks)[1])
