@@ -182,7 +182,11 @@ def _prepare_images(predictions: List[Dict], gts: List[Dict],
             if iscrowd.any() and len(dt_m):
                 crowd_iou = _mask_iou_crowd(dt_m, gt_m)
                 iou = np.where(iscrowd[None, :len(gt_m)], crowd_iou, iou)
-            dt_area = _areas(pred, None, dt_m, 'segm', order)
+            # NOTE: pass the UNSORTED masks — _areas applies ``order``
+            # itself; dt_m is already sorted (double-permute bug found
+            # by the pycocotools-oracle cross-check)
+            dt_area = _areas(pred, None, pred.get('masks') or [],
+                             'segm', order)
             gt_area = _areas(gt, None, gt_m, 'segm')
             n_inst = len(gt_m)
         crowd = iscrowd if len(iscrowd) else np.zeros(n_inst, bool)
@@ -257,12 +261,15 @@ def coco_map(predictions: List[Dict], gts: List[Dict],
         # monotone precision envelope
         for i in range(len(precision) - 1, 0, -1):
             precision[i - 1] = max(precision[i - 1], precision[i])
-        # 101-point interpolation
-        idx = np.searchsorted(recall, REC_THRS, side='left')
-        p = np.where(idx < len(precision), precision[np.minimum(
-            idx, max(len(precision) - 1, 0))], 0.0)
+        # 101-point interpolation (guard first: an all-ignored slice
+        # leaves precision empty and indexing it would raise)
         if len(precision) == 0:
             p = np.zeros_like(REC_THRS)
+        else:
+            idx = np.searchsorted(recall, REC_THRS, side='left')
+            p = np.where(idx < len(precision),
+                         precision[np.minimum(idx, len(precision) - 1)],
+                         0.0)
         aps.append(p.mean())
     aps = np.asarray(aps)
     return {'mAP': float(aps.mean()),
