@@ -201,3 +201,114 @@ class MODNet(nn.Module):
                         name='conv_f_1')(f)
         pred_matte = jax.nn.sigmoid(f)
         return pred_semantic, pred_detail, pred_matte
+
+
+# torch Conv2dIBNormRelu -> (flax ConvIBNRelu name) per branch, in the
+# reference checkpoint schema (modnet.py:485-607; branches are flat
+# submodules of the flax MODNet, Sequential indices become suffixes)
+_MODNET_CONVS = {
+    'lr_branch.conv_lr16x': 'conv_lr16x',
+    'lr_branch.conv_lr8x': 'conv_lr8x',
+    'lr_branch.conv_lr': 'conv_lr',
+    'hr_branch.tohr_enc2x': 'tohr_enc2x',
+    'hr_branch.conv_enc2x': 'conv_enc2x',
+    'hr_branch.tohr_enc4x': 'tohr_enc4x',
+    'hr_branch.conv_enc4x': 'conv_enc4x',
+    'hr_branch.conv_hr4x.0': 'conv_hr4x_0',
+    'hr_branch.conv_hr4x.1': 'conv_hr4x_1',
+    'hr_branch.conv_hr4x.2': 'conv_hr4x_2',
+    'hr_branch.conv_hr2x.0': 'conv_hr2x_0',
+    'hr_branch.conv_hr2x.1': 'conv_hr2x_1',
+    'hr_branch.conv_hr2x.2': 'conv_hr2x_2',
+    'hr_branch.conv_hr2x.3': 'conv_hr2x_3',
+    'hr_branch.conv_hr.0': 'conv_hr_0',
+    'hr_branch.conv_hr.1': 'conv_hr_1',
+    'f_branch.conv_lr4x': 'conv_lr4x',
+    'f_branch.conv_f2x': 'conv_f2x',
+    'f_branch.conv_f.0': 'conv_f_0',
+    'f_branch.conv_f.1': 'conv_f_1',
+}
+
+
+def convert_modnet(sd) -> dict:
+    """torch MODNet state dict -> flax {'params', 'batch_stats'}.
+
+    Accepts the AnimeSegmentation lightning prefix ('net.',
+    animeseg_refine/__init__.py:74-85) and the duplicated backbone
+    paths ('backbone.model.*' and 'lr_branch.backbone.model.*' name
+    the SAME shared module in the reference; identical tensors, last
+    write wins)."""
+    from .convert import _np
+
+    sd = {k[4:] if k.startswith('net.') else k: v for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    def put_conv(flax_path, v, attr):
+        key = 'kernel' if attr == 'weight' else 'bias'
+        leaf = _np(v).transpose(2, 3, 1, 0) if attr == 'weight' else _np(v)
+        put(params, flax_path + (key,), leaf)
+
+    def put_bn(flax_path, v, attr):
+        if attr in ('weight', 'bias'):
+            put(params, flax_path +
+                ('scale' if attr == 'weight' else 'bias',), _np(v))
+        else:
+            put(stats, flax_path +
+                ('mean' if attr == 'running_mean' else 'var',), _np(v))
+
+    # torch InvertedResidual .conv Sequential indices -> flax child
+    # names (modnet.py:178-201): expansion==1 has no pw expand
+    _IR_EXP1 = {0: ('dw', 'conv'), 1: ('dw_bn', 'bn'),
+                3: ('pw_lin', 'conv'), 4: ('pw_lin_bn', 'bn')}
+    _IR_EXP6 = {0: ('pw', 'conv'), 1: ('pw_bn', 'bn'),
+                3: ('dw', 'conv'), 4: ('dw_bn', 'bn'),
+                6: ('pw_lin', 'conv'), 7: ('pw_lin_bn', 'bn')}
+
+    for k, v in sd.items():
+        if 'num_batches_tracked' in k:
+            continue
+        if '.backbone.model.' in k or k.startswith('backbone.model.'):
+            rest = k.split('.model.features.', 1)
+            if len(rest) != 2:
+                continue
+            parts = rest[1].split('.')
+            n = int(parts[0])
+            if n == 0:      # stem conv_bn
+                name = 'stem' if parts[1] == '0' else 'stem_bn'
+                (put_conv if parts[1] == '0' else put_bn)(
+                    ('backbone', name), v, parts[2])
+            elif n == 18:   # 1x1 head
+                name = 'head' if parts[1] == '0' else 'head_bn'
+                (put_conv if parts[1] == '0' else put_bn)(
+                    ('backbone', name), v, parts[2])
+            else:           # InvertedResidual block n (1..17)
+                table = _IR_EXP1 if n == 1 else _IR_EXP6
+                child, kind = table[int(parts[2])]
+                path = ('backbone', f'block{n}', child)
+                (put_conv if kind == 'conv' else put_bn)(
+                    path, v, parts[3])
+            continue
+        if k.startswith('lr_branch.se_block.fc.'):
+            idx, attr = k.split('.')[-2:]
+            # torch Linear weight (out, in) -> flax Dense (in, out)
+            put(params, ('se_block', 'fc0' if idx == '0' else 'fc1',
+                         'kernel'), _np(v).T)
+            continue
+        for tname, fname in _MODNET_CONVS.items():
+            pre = tname + '.layers.'
+            if not k.startswith(pre):
+                continue
+            parts = k[len(pre):].split('.')
+            if parts[0] == '0':                       # the conv
+                put_conv((fname, 'conv'), v, parts[1])
+            elif parts[0] == '1' and parts[1] == 'bnorm':   # IBNorm bn
+                put_bn((fname, 'ibn', 'bnorm'), v, parts[2])
+            break
+    return {'params': params, 'batch_stats': stats}

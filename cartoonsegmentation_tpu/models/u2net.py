@@ -117,3 +117,33 @@ class ISNetGTEncoder(nn.Module):
                         name=f'side{i + 1}')(f)
             sides.append(_up_like(s, x))
         return tuple(sides), tuple(feats)
+
+
+def convert_isnet_gt(sd) -> dict:
+    """torch ISNetGTEncoder state dict -> flax variables. Differs from
+    ISNetDIS only in the stem: conv_in is a myrebnconv ('conv_in.conv'
+    / 'conv_in.bn', isnet.py:410-439) instead of a bare conv; stages
+    and side heads share convert_isnet's mapping."""
+    from .convert import _np
+    from .isnet import convert_isnet
+
+    sd = {k[4:] if k.startswith('net.') else k: v for k, v in sd.items()}
+    out = convert_isnet({k: v for k, v in sd.items()
+                         if not k.startswith('conv_in.')})
+    conv_p, bn_p, bn_s = {}, {}, {}
+    for k, v in sd.items():
+        if not k.startswith('conv_in.') or 'num_batches_tracked' in k:
+            continue
+        _, layer, attr = k.split('.')
+        if layer == 'conv':
+            conv_p['kernel' if attr == 'weight' else 'bias'] = \
+                _np(v).transpose(2, 3, 1, 0) if attr == 'weight' \
+                else _np(v)
+        else:
+            if attr in ('weight', 'bias'):
+                bn_p['scale' if attr == 'weight' else 'bias'] = _np(v)
+            else:
+                bn_s['mean' if attr == 'running_mean' else 'var'] = _np(v)
+    out['params']['conv_in'] = {'conv': conv_p, 'bn': bn_p}
+    out['batch_stats']['conv_in'] = {'bn': bn_s}
+    return out

@@ -132,7 +132,12 @@ def get_refine_net(net_name: str):
         net = ISNetGTEncoder()
 
         def run(net, variables, x):
-            sides = net.apply(variables, x)[0]
+            # the GT encoder is single-channel (the reference trains
+            # it on masks, isnet.py:436-439); project RGB to luma so
+            # real 1-ch checkpoints load and apply
+            luma = (0.299 * x[..., 0:1] + 0.587 * x[..., 1:2]
+                    + 0.114 * x[..., 2:3])
+            sides = net.apply(variables, luma)[0]
             return jax.nn.sigmoid(sides[0][..., 0])
         return net, run
     if net_name in ('u2net', 'u2netl'):
@@ -178,22 +183,30 @@ class AnimeSegRefiner:
         if self._variables is None:
             LOGGER.warning('AnimeSegRefiner(%s): RANDOM init '
                            '(no checkpoint)', self.net_name)
+            # isnet_gt is single-channel (its run fn feeds luma)
+            in_ch = 1 if self.net_name == 'isnet_gt' else 3
             self._variables = self.net.init(
                 jax.random.PRNGKey(self._seed),
-                jnp.zeros((1, 64, 64, 3), jnp.float32))
+                jnp.zeros((1, 64, 64, in_ch), jnp.float32))
         return self._variables
 
     def load_torch_checkpoint(self, path: str) -> None:
+        """Load any of the reference's selectable animeseg checkpoints
+        (animeseg_refine/__init__.py:28-41): every get_net name has a
+        converter."""
         from ..models.convert import load_torch_ckpt
+        sd = load_torch_ckpt(path)
         if self.net_name in ('u2net', 'u2netl'):
             from ..models.u2net import convert_u2net
-            self._variables = convert_u2net(load_torch_ckpt(path))
-            return
-        if not self.net_name.startswith('isnet') or \
-                self.net_name == 'isnet_gt':
-            raise NotImplementedError(
-                f'no torch converter wired for {self.net_name} yet')
-        self._variables = convert_isnet(load_torch_ckpt(path))
+            self._variables = convert_u2net(sd)
+        elif self.net_name == 'isnet_gt':
+            from ..models.u2net import convert_isnet_gt
+            self._variables = convert_isnet_gt(sd)
+        elif self.net_name == 'modnet':
+            from ..models.modnet import convert_modnet
+            self._variables = convert_modnet(sd)
+        else:
+            self._variables = convert_isnet(sd)
 
     def __call__(self, instances: Instances, img_bgr: np.ndarray
                  ) -> Instances:

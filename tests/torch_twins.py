@@ -1994,3 +1994,267 @@ class TorchMaskRCNNNets(tnn.Module):
             x = tF.relu(getattr(rh.mask_head, f'mask_fcn{i}')(x))
         x = tF.relu(rh.mask_predictor.conv5_mask(x))
         return rh.mask_predictor.mask_fcn_logits(x)
+
+
+# -- anime-segmentation refine nets: ISNet GT encoder + MODNet --------
+#    (checkpoint schema: animeseg_refine/isnet.py REBNCONV conv_s1/
+#    bn_s1 + myrebnconv conv/bn; modnet.py branch/Sequential names)
+
+def _t_up_like(src, tar):
+    return tnn.functional.interpolate(
+        src, size=tar.shape[2:], mode='bilinear', align_corners=False)
+
+
+class TREBN(tnn.Module):
+    def __init__(self, cin, cout, dirate=1):
+        super().__init__()
+        self.conv_s1 = tnn.Conv2d(cin, cout, 3, padding=dirate,
+                                  dilation=dirate)
+        self.bn_s1 = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn_s1(self.conv_s1(x)))
+
+
+class TRSU(tnn.Module):
+    """RSU of any height; dilated=True is RSU4F / the u2net_refactor
+    dilated stages (no pooling, rates 2^(i-1))."""
+
+    def __init__(self, height, cin, mid, cout, dilated=False):
+        super().__init__()
+        self.height, self.dilated = height, dilated
+        L = height
+
+        def rate(i):
+            return 2 ** (i - 1) if dilated else 1
+        self.rebnconvin = TREBN(cin, cout)
+        self.add_module('rebnconv1', TREBN(cout, mid, rate(1)))
+        for i in range(2, L):
+            self.add_module(f'rebnconv{i}', TREBN(mid, mid, rate(i)))
+        self.add_module(f'rebnconv{L}',
+                        TREBN(mid, mid, 2 ** (L - 1) if dilated else 2))
+        for i in range(L - 1, 0, -1):
+            self.add_module(f'rebnconv{i}d',
+                            TREBN(2 * mid, cout if i == 1 else mid,
+                                  rate(i)))
+        self.pool = tnn.MaxPool2d(2, stride=2, ceil_mode=True)
+
+    def forward(self, x):
+        L = self.height
+        hxin = self.rebnconvin(x)
+        enc = [self.rebnconv1(hxin)]
+        h = enc[0]
+        for i in range(2, L):
+            if not self.dilated:
+                h = self.pool(h)
+            h = getattr(self, f'rebnconv{i}')(h)
+            enc.append(h)
+        d = getattr(self, f'rebnconv{L}')(h)
+        for i in range(L - 1, 0, -1):
+            skip = enc[i - 1]
+            if d.shape[2:] != skip.shape[2:]:
+                d = _t_up_like(d, skip)
+            d = getattr(self, f'rebnconv{i}d')(torch.cat([d, skip], 1))
+        return d + hxin
+
+
+class TMyREBN(tnn.Module):
+    """myrebnconv: plain 'conv'/'bn' child names."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, 3, stride, 1)
+        self.bn = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class TorchISNetGT(tnn.Module):
+    def __init__(self, in_ch=1, out_ch=1):
+        super().__init__()
+        self.conv_in = TMyREBN(in_ch, 16, stride=2)
+        self.stage1 = TRSU(7, 16, 16, 64)
+        self.stage2 = TRSU(6, 64, 16, 64)
+        self.stage3 = TRSU(5, 64, 32, 128)
+        self.stage4 = TRSU(4, 128, 32, 256)
+        self.stage5 = TRSU(4, 256, 64, 512, dilated=True)
+        self.stage6 = TRSU(4, 512, 64, 512, dilated=True)
+        for i, c in enumerate((64, 64, 128, 256, 512, 512)):
+            self.add_module(f'side{i + 1}',
+                            tnn.Conv2d(c, out_ch, 3, padding=1))
+        self.pool = tnn.MaxPool2d(2, stride=2, ceil_mode=True)
+
+    def forward(self, x):
+        h = self.conv_in(x)
+        feats = []
+        for i in range(1, 7):
+            h = getattr(self, f'stage{i}')(h)
+            feats.append(h)
+            if i < 6:
+                h = self.pool(h)
+        sides = [_t_up_like(getattr(self, f'side{i + 1}')(f), x)
+                 for i, f in enumerate(feats)]
+        return sides, feats
+
+
+class TIBNorm(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.bnorm = tnn.BatchNorm2d(c // 2)
+        self.inorm = tnn.InstanceNorm2d(c - c // 2, affine=False)
+
+    def forward(self, x):
+        h = self.bnorm.num_features
+        return torch.cat([self.bnorm(x[:, :h]), self.inorm(x[:, h:])], 1)
+
+
+class TConvIBN(tnn.Module):
+    def __init__(self, cin, cout, k, stride=1, padding=0,
+                 with_ibn=True, with_relu=True):
+        super().__init__()
+        layers = [tnn.Conv2d(cin, cout, k, stride, padding)]
+        if with_ibn:
+            layers.append(TIBNorm(cout))
+        if with_relu:
+            layers.append(tnn.ReLU())
+        self.layers = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.layers(x)
+
+
+class TIR(tnn.Module):
+    def __init__(self, cin, cout, stride, t):
+        super().__init__()
+        hidden = round(cin * t)
+        self.use_res = stride == 1 and cin == cout
+        if t == 1:
+            self.conv = tnn.Sequential(
+                tnn.Conv2d(hidden, hidden, 3, stride, 1, groups=hidden,
+                           bias=False),
+                tnn.BatchNorm2d(hidden), tnn.ReLU6(),
+                tnn.Conv2d(hidden, cout, 1, bias=False),
+                tnn.BatchNorm2d(cout))
+        else:
+            self.conv = tnn.Sequential(
+                tnn.Conv2d(cin, hidden, 1, bias=False),
+                tnn.BatchNorm2d(hidden), tnn.ReLU6(),
+                tnn.Conv2d(hidden, hidden, 3, stride, 1, groups=hidden,
+                           bias=False),
+                tnn.BatchNorm2d(hidden), tnn.ReLU6(),
+                tnn.Conv2d(hidden, cout, 1, bias=False),
+                tnn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+class TMBV2(tnn.Module):
+    def __init__(self, in_ch=3):
+        super().__init__()
+        feats = [tnn.Sequential(
+            tnn.Conv2d(in_ch, 32, 3, 2, 1, bias=False),
+            tnn.BatchNorm2d(32), tnn.ReLU6())]
+        c_in = 32
+        for t, c, n, s in ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                           (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2),
+                           (6, 320, 1, 1)):
+            for i in range(n):
+                feats.append(TIR(c_in, c, s if i == 0 else 1, t))
+                c_in = c
+        feats.append(tnn.Sequential(
+            tnn.Conv2d(c_in, 1280, 1, bias=False),
+            tnn.BatchNorm2d(1280), tnn.ReLU6()))
+        self.features = tnn.Sequential(*feats)
+
+    def forward(self, x):
+        out = []
+        for i, f in enumerate(self.features):
+            x = f(x)
+            if i in (1, 3, 6, 13, 18):
+                out.append(x)
+        return out  # enc2x, enc4x, enc8x, enc16x, enc32x
+
+
+def _t_up2(x):
+    return tnn.functional.interpolate(
+        x, scale_factor=2, mode='bilinear', align_corners=False)
+
+
+def _t_down(x, f):
+    return tnn.functional.interpolate(
+        x, scale_factor=1 / f, mode='bilinear', align_corners=False)
+
+
+class TorchMODNet(tnn.Module):
+    """Inference-path MODNet twin with the reference checkpoint layout
+    (incl. the shared backbone registered under both 'backbone.' and
+    'lr_branch.backbone.')."""
+
+    def __init__(self, hr=32):
+        super().__init__()
+        backbone = tnn.Module()
+        backbone.model = TMBV2()
+        self.backbone = backbone
+        lr = tnn.Module()
+        lr.backbone = backbone
+        se = tnn.Module()
+        se.fc = tnn.Sequential(tnn.Linear(1280, 320, bias=False),
+                               tnn.ReLU(),
+                               tnn.Linear(320, 1280, bias=False),
+                               tnn.Sigmoid())
+        lr.se_block = se
+        lr.conv_lr16x = TConvIBN(1280, 96, 5, 1, 2)
+        lr.conv_lr8x = TConvIBN(96, 32, 5, 1, 2)
+        lr.conv_lr = TConvIBN(32, 1, 3, 2, 1, with_ibn=False,
+                              with_relu=False)
+        self.lr_branch = lr
+        h = tnn.Module()
+        h.tohr_enc2x = TConvIBN(16, hr, 1)
+        h.conv_enc2x = TConvIBN(hr + 3, hr, 3, 2, 1)
+        h.tohr_enc4x = TConvIBN(24, hr, 1)
+        h.conv_enc4x = TConvIBN(2 * hr, 2 * hr, 3, 1, 1)
+        h.conv_hr4x = tnn.Sequential(
+            TConvIBN(3 * hr + 3, 2 * hr, 3, 1, 1),
+            TConvIBN(2 * hr, 2 * hr, 3, 1, 1),
+            TConvIBN(2 * hr, hr, 3, 1, 1))
+        h.conv_hr2x = tnn.Sequential(
+            TConvIBN(2 * hr, 2 * hr, 3, 1, 1),
+            TConvIBN(2 * hr, hr, 3, 1, 1),
+            TConvIBN(hr, hr, 3, 1, 1), TConvIBN(hr, hr, 3, 1, 1))
+        h.conv_hr = tnn.Sequential(
+            TConvIBN(hr + 3, hr, 3, 1, 1),
+            TConvIBN(hr, 1, 1, with_ibn=False, with_relu=False))
+        self.hr_branch = h
+        f = tnn.Module()
+        f.conv_lr4x = TConvIBN(32, hr, 5, 1, 2)
+        f.conv_f2x = TConvIBN(2 * hr, hr, 3, 1, 1)
+        f.conv_f = tnn.Sequential(
+            TConvIBN(hr + 3, hr // 2, 3, 1, 1),
+            TConvIBN(hr // 2, 1, 1, with_ibn=False, with_relu=False))
+        self.f_branch = f
+
+    def forward(self, img):
+        enc2x, enc4x, _, _, enc32x = self.backbone.model(img)
+        w = enc32x.mean((2, 3))
+        w = self.lr_branch.se_block.fc(w)
+        e32 = enc32x * w[:, :, None, None]
+        lr16x = self.lr_branch.conv_lr16x(_t_up2(e32))
+        lr8x = self.lr_branch.conv_lr8x(_t_up2(lr16x))
+
+        img2x, img4x = _t_down(img, 2), _t_down(img, 4)
+        e2 = self.hr_branch.tohr_enc2x(enc2x)
+        hr4x = self.hr_branch.conv_enc2x(torch.cat([img2x, e2], 1))
+        e4 = self.hr_branch.tohr_enc4x(enc4x)
+        hr4x = self.hr_branch.conv_enc4x(torch.cat([hr4x, e4], 1))
+        hr4x = self.hr_branch.conv_hr4x(
+            torch.cat([hr4x, _t_up2(lr8x), img4x], 1))
+        hr2x = self.hr_branch.conv_hr2x(
+            torch.cat([_t_up2(hr4x), e2], 1))
+
+        lr4x = self.f_branch.conv_lr4x(_t_up2(lr8x))
+        f2x = self.f_branch.conv_f2x(
+            torch.cat([_t_up2(lr4x), hr2x], 1))
+        f = self.f_branch.conv_f(torch.cat([_t_up2(f2x), img], 1))
+        return torch.sigmoid(f)
