@@ -11,7 +11,10 @@ Backends:
            Loads timm-format torch checkpoints (wd-swinv2-tagger-v3);
            random-init with a warning when no checkpoint is given.
 - 'onnx':  the original model.onnx via onnxruntime when available.
-- 'stub':  deterministic pseudo-tags for pipeline integration tests.
+- 'stub':  deterministic pseudo-tags — TEST-ONLY. Reached only with
+           an explicit ``strict=False``: by default a Tagger with no
+           usable backend raises instead of fabricating tags (a
+           mis-pathed checkpoint in production must fail loudly).
 
 The tag CSV (selected_tags.csv next to the model) follows the WD
 tagger format: columns name, category (0 general / 4 character /
@@ -66,7 +69,7 @@ class Tagger:
                  general_thr: float = 0.5, character_thr: float = 0.5,
                  input_size: int = 448,
                  swin_kwargs: Optional[dict] = None, seed: int = 0,
-                 strict: bool = False):
+                 strict: bool = True):
         self.strict = strict
         self.general_thr = general_thr
         self.character_thr = character_thr

@@ -32,8 +32,11 @@ def silog_loss(pred: jnp.ndarray, target: jnp.ndarray,
     test_reference_losses."""
     alpha = 1e-7
     m = mask.astype(pred.dtype)
-    # where-select (not multiply) so log of masked-out garbage can
-    # never leak a NaN into the sums
+    # where-select (not multiply) keeps masked-OUT garbage out of the
+    # sums; VALID pixels must satisfy pred+alpha > 0 — that is the
+    # caller's contract (make_zoe_train_step clips preds; a custom
+    # apply_fn that emits pred <= -alpha at a valid pixel NaNs here,
+    # same as the reference's torch.log would)
     g = jnp.where(m > 0,
                   jnp.log(pred + alpha) - jnp.log(target + alpha), 0.0)
     n = jnp.maximum(m.sum(), 2.0)
@@ -48,15 +51,24 @@ def grad_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
     grid (reference loss.py:96-135 grad/grad_mask/GradL1Loss):
     mag = dx² + dy², angle = atan(dy/(dx+1e-10)), both L1-averaged
     over grad_mask(mask) = mask∧mask_left∧mask_up."""
+    m = (mask[..., 1:, 1:, :] * mask[..., 1:, :-1, :]
+         * mask[..., :-1, 1:, :]).astype(pred.dtype)
+
     def g(x):
         dx = x[..., 1:, 1:, :] - x[..., 1:, :-1, :]
         dy = x[..., 1:, 1:, :] - x[..., :-1, 1:, :]
-        return dx * dx + dy * dy, jnp.arctan(dy / (dx + 1e-10))
+        # sanitize masked-OUT pixels before the division: 0/0 there
+        # would make a NaN that the later multiply-by-mask cannot
+        # remove (0*nan = nan, and grads leak through where). The
+        # reference never computes these (boolean indexing); valid
+        # pixels are untouched.
+        safe_dx = jnp.where(m > 0, dx, 1.0)
+        safe_dy = jnp.where(m > 0, dy, 0.0)
+        return dx * dx + dy * dy, jnp.arctan(
+            safe_dy / (safe_dx + 1e-10))
 
     mag_p, ang_p = g(pred)
     mag_t, ang_t = g(target)
-    m = (mask[..., 1:, 1:, :] * mask[..., 1:, :-1, :]
-         * mask[..., :-1, 1:, :]).astype(pred.dtype)
     n = jnp.maximum(m.sum(), 1.0)
     return ((jnp.abs(mag_p - mag_t) * m).sum()
             + (jnp.abs(ang_p - ang_t) * m).sum()) / n

@@ -45,7 +45,7 @@ def test_infer_embeddings_and_box_prompt(seg, rng):
 
 
 def test_tagger_stub_deterministic(rng):
-    t = Tagger(backend='auto')
+    t = Tagger(backend='auto', strict=False)
     assert t.backend == 'stub'
     img = np.zeros((64, 64, 3), np.uint8)
     img[..., 0] = 250  # blue-dominant in BGR
@@ -111,3 +111,13 @@ def test_infer_tags_per_instance(seg, rng):
     tags, _ = seg.infer_tags(ins, img, infer_grey=True)
     g = calls[-1]
     assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+
+
+def test_tagger_strict_by_default():
+    """VERDICT r3 item 9: a Tagger with no usable backend must raise
+    unless strict=False is passed explicitly (the stub is test-only)."""
+    import pytest
+    with pytest.raises(RuntimeError, match='strict'):
+        Tagger(backend='auto')
+    with pytest.raises(RuntimeError, match='strict'):
+        Tagger('/nonexistent/model.ckpt', backend='flax')
