@@ -71,6 +71,12 @@ def main():
     ap.add_argument('--viz-dir', default='',
                     help='directory of sample images for the '
                          'visualization hook')
+    ap.add_argument('--run-dir', default='',
+                    help='experiment dir for metrics.jsonl + viz '
+                         'grids (default: <ckpt-out dir>/run)')
+    ap.add_argument('--wandb', action='store_true',
+                    help='also mirror scalars to wandb when it is '
+                         'importable (never required)')
     ap.add_argument('--seed', type=int, default=0)
     args = ap.parse_args()
 
@@ -134,11 +140,19 @@ def main():
         ema_params = resumed_ema if resumed_ema is not None \
             else state.params
 
+    from cartoonsegmentation_tpu.utils.tracking import ExperimentTracker
+    run_dir = args.run_dir or osp.join(
+        osp.dirname(args.ckpt_out) or '.', 'run')
+    tracker = ExperimentTracker(run_dir, config=vars(args),
+                                name='detector', use_wandb=args.wandb)
+
     viz = None
     if args.viz_dir:
         from cartoonsegmentation_tpu.parallel.hooks import \
             InstanceSegVisualizationHook
-        viz = InstanceSegVisualizationHook(args.viz_dir)
+        viz = InstanceSegVisualizationHook(
+            args.viz_dir, out_dir=osp.join(run_dir, 'images'),
+            log_fn=None if not args.wandb else tracker.log_image)
 
     def save(tag=''):
         path = args.ckpt_out if not tag else \
@@ -196,6 +210,7 @@ def main():
         for k, v in res.items():
             LOGGER.info(f'step {step} val {k}: '
                         f"mAP={v['mAP']:.4f} mAP50={v['mAP_50']:.4f}")
+            tracker.log(v, step, prefix=f'Metrics/{k}/')
         if viz is not None:
             viz.before_val(seg, step)
 
@@ -217,6 +232,8 @@ def main():
                     f'step {step}/{args.steps} '
                     + ' '.join(f'{k}={v:.4f}' for k, v in m.items())
                     + f' ({rate:.1f} img/s)')
+                tracker.log({**m, 'img_per_s': rate}, step,
+                            prefix='Train/')
             if args.save_every and step % args.save_every == 0 \
                     and step < args.steps:
                 save(tag=f'step{step}')
@@ -225,6 +242,7 @@ def main():
                 validate(step)
     save()
     validate(args.steps)
+    tracker.close()
 
 
 if __name__ == '__main__':

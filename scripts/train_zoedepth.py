@@ -54,6 +54,12 @@ def main():
                          'nine-metric eval at the end')
     ap.add_argument('--eval-max-images', type=int, default=50)
     ap.add_argument('--log-every', type=int, default=20)
+    ap.add_argument('--run-dir', default='',
+                    help='experiment dir for metrics.jsonl '
+                         '(default: <ckpt-out dir>/run)')
+    ap.add_argument('--wandb', action='store_true',
+                    help='also mirror scalars to wandb when it is '
+                         'importable (never required)')
     ap.add_argument('--seed', type=int, default=0)
     # tiny-model knobs for smoke tests
     ap.add_argument('--tiny', action='store_true',
@@ -151,6 +157,13 @@ def main():
                                       min_depth=args.min_depth,
                                       max_depth=args.max_depth)
 
+    from cartoonsegmentation_tpu.utils.tracking import ExperimentTracker
+    run_dir = args.run_dir or osp.join(
+        osp.dirname(args.ckpt_out) or '.', 'run')
+    tracker = ExperimentTracker(run_dir, config=vars(args),
+                                name=f'zoe_{args.variant}',
+                                use_wandb=args.wandb)
+
     t0 = time.time()
     step = 0
     with mesh:
@@ -167,6 +180,8 @@ def main():
                                 + ' '.join(f'{k}={v:.4f}'
                                            for k, v in m.items())
                                 + f' ({rate:.1f} img/s)')
+                    tracker.log({**m, 'img_per_s': rate,
+                                 'epoch': ep}, step, prefix='Train/')
                 if step >= total:
                     break
             if step >= total:
@@ -201,6 +216,8 @@ def main():
             max_depth_eval=args.max_depth)
         LOGGER.info('eval: ' + ' '.join(f'{k}={v:.4f}'
                                         for k, v in res.items()))
+        tracker.log(res, step, prefix='Metrics/')
+    tracker.close()
 
 
 if __name__ == '__main__':

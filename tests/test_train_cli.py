@@ -64,6 +64,17 @@ def test_train_detector_cli_smoke(tmp_path):
     assert 'step 2/2' in log
     assert 'val animeins_bbox' in log
 
+    # experiment-tracking sink (VERDICT r3 item 8): metrics.jsonl
+    # holds the same scalars the log prints, train AND val
+    rows = [json.loads(ln) for ln in
+            (tmp_path / 'run' / 'metrics.jsonl').read_text()
+            .splitlines()]
+    train = [r for r in rows if 'Train/loss' in r]
+    vals = [r for r in rows if any(k.startswith('Metrics/')
+                                   for k in r)]
+    assert len(train) == 2 and train[-1]['step'] == 2
+    assert vals and any(k.endswith('/mAP') for k in vals[0])
+
     # resume path loads the saved checkpoint
     res2 = subprocess.run(
         [sys.executable, os.path.join(REPO, 'scripts',
@@ -116,6 +127,13 @@ def test_train_zoedepth_cli_smoke(tmp_path):
     log = res.stderr + res.stdout
     assert 'step 2/2' in log
     assert 'eval:' in log and 'rmse=' in log
+
+    # tracking sink: train scalars + the nine-metric eval row
+    rows = [json.loads(ln) for ln in
+            (tmp_path / 'run' / 'metrics.jsonl').read_text()
+            .splitlines()]
+    assert any('Train/l_si' in r for r in rows)
+    assert any('Metrics/rmse' in r for r in rows)
 
 
 def test_train_zoedepth_nk_cli_smoke(tmp_path):
