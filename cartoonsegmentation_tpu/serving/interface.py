@@ -6,6 +6,10 @@ Parity: reference naive_interface.py:63-215 —
                           cloud (no inpaint), per-time frame cache
 - POST /update_from,/update_to  move the camera boxes, drop the cache
 - GET  /get_result        full inpainted render → mp4 bytes
+- GET  /path_overlay?fltTime=  camera-path scrub preview: from/to
+                          boxes + trajectory + the interpolated crop
+                          rectangle at t (stepping-tab math,
+                          Component_AIS.py:1424-1696)
 
 Key property preserved: state generation (seg + depth + points)
 happens once per image; live preview renders single frames from the
@@ -23,6 +27,31 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from ..utils import LOGGER
+
+
+def _center_to_corner(cx, cy, cw, ch):
+    """Center+crop → integer corner points. Parity:
+    Component_AIS.py:1635-1658 (ConvertLocation_From_Center_To_Corner:
+    corners are center ± round(crop/2))."""
+    hw, hh = int(round(cw / 2.0)), int(round(ch / 2.0))
+    cx, cy = int(round(cx)), int(round(cy))
+    return cx - hw, cy - hh, cx + hw, cy + hh
+
+
+def _centralise_box(cx, cy, cw, ch, W, H):
+    """Shift the camera center the minimal amount that brings the
+    crop rectangle fully inside the image. Parity:
+    Component_AIS.py:1660-1696 (Centralise_Camera)."""
+    x1, y1, x2, y2 = _center_to_corner(cx, cy, cw, ch)
+    if x1 < 0:
+        cx += -x1
+    elif x2 > W:
+        cx += W - x2
+    if y1 < 0:
+        cy += -y1
+    elif y2 > H:
+        cy += H - y2
+    return cx, cy
 
 
 def _box_detector(det):
@@ -140,6 +169,59 @@ class KenBurnsService:
                         cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 200, 0), 2)
             cv2.putText(img, 'to', (8, 48),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 0, 220), 2)
+        ok, enc = cv2.imencode('.jpg', img,
+                               [cv2.IMWRITE_JPEG_QUALITY, 90])
+        return enc.tobytes()
+
+    def path_overlay(self, t: float) -> bytes:
+        """Input image with the camera PATH drawn: the from (green) /
+        to (red) crop boxes, the camera-center trajectory polyline
+        across the whole clip, and the interpolated crop rectangle at
+        scrub position ``t`` (white, thick) — centralise-clamped into
+        the image. This is the reference stepping tab's live scrub
+        preview. Parity: Web_UI/Component/Component_AIS.py:1424-1509
+        (DoOnImageBox_Stepping_TabSelecting → HighLight_Crop_Using_*)
+        and :1582-1696 (HighLight_Crop_Core,
+        ConvertLocation_From_Center_To_Corner, Centralise_Camera)."""
+        import cv2
+        with self.lock:
+            if self.state is None or self.img is None:
+                raise ValueError('no image loaded')
+            img = np.ascontiguousarray(self.img).copy()
+            obj_from, obj_to = dict(self.obj_from), dict(self.obj_to)
+            n = max(int(self.pipe.cfg.num_frame), 2)
+        H, W = img.shape[:2]
+        t = min(max(float(t), 0.0), 1.0)
+
+        def lerp_box(tt):
+            # same lerp as the render camera (kenburns._camera_params)
+            fr = 1.0 - tt
+            cw = fr * obj_from['crop_w'] + tt * obj_to['crop_w']
+            ch = fr * obj_from['crop_h'] + tt * obj_to['crop_h']
+            cx = fr * obj_from['center_u'] + tt * obj_to['center_u']
+            cy = fr * obj_from['center_v'] + tt * obj_to['center_v']
+            cx, cy = _centralise_box(cx, cy, cw, ch, W, H)
+            return cx, cy, cw, ch
+
+        pts = np.asarray([lerp_box(tt)[:2]
+                          for tt in np.linspace(0.0, 1.0, n)])
+        cv2.polylines(img, [np.round(pts).astype(np.int32)], False,
+                      (200, 200, 60), 1, cv2.LINE_AA)
+        for obj, color in ((obj_from, (0, 200, 0)),
+                           (obj_to, (0, 0, 220))):
+            cx, cy = _centralise_box(
+                obj['center_u'], obj['center_v'],
+                obj['crop_w'], obj['crop_h'], W, H)
+            x1, y1, x2, y2 = _center_to_corner(
+                cx, cy, obj['crop_w'], obj['crop_h'])
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, 1)
+        cx, cy, cw, ch = lerp_box(t)
+        x1, y1, x2, y2 = _center_to_corner(cx, cy, cw, ch)
+        cv2.rectangle(img, (x1, y1), (x2, y2), (255, 255, 255), 2)
+        cv2.circle(img, (int(round(cx)), int(round(cy))), 3,
+                   (255, 255, 255), -1)
+        cv2.putText(img, f't={t:.2f}', (8, 24),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
         ok, enc = cv2.imencode('.jpg', img,
                                [cv2.IMWRITE_JPEG_QUALITY, 90])
         return enc.tobytes()
@@ -607,6 +689,10 @@ def make_handler(service: KenBurnsService):
                 elif parsed.path == '/stage':
                     name = q.get('name', [''])[0]
                     self._send(200, service.stage_image(name),
+                               'image/jpeg')
+                elif parsed.path == '/path_overlay':
+                    t = float(q.get('fltTime', ['0'])[0])
+                    self._send(200, service.path_overlay(t),
                                'image/jpeg')
                 elif parsed.path == '/autozoom_preview':
                     self._send(200, service.autozoom_preview(),

@@ -4,7 +4,10 @@ and naive_interface.html, with zero extra dependencies: one embedded
 HTML/JS page served by the stdlib HTTP server (serving/interface.py).
 
 Tabs:
-- Ken Burns: upload → autozoom preview, live scrubber over /get_live,
+- Ken Burns: upload → autozoom preview, live scrubber over /get_live
+  with a "path" toggle that scrubs the camera crop-path overlay
+  (/path_overlay: from/to boxes + trajectory + interpolated crop
+  rectangle, the stepping tab's Component_AIS.py:1424-1696 math),
   editable from/to crop boxes (/update_from, /update_to), PER-STAGE
   STEPPING (the reference's stepping-demonstration tab,
   Web_UI/Component/Component_AIS.py:493-787: step through input →
@@ -72,6 +75,9 @@ PAGE_HTML = """<!doctype html>
  <div class="row">
   t=<input type="range" id="kb_t" min="0" max="1" step="0.02" value="0"
      oninput="kbLive()">
+  <label>path <input type="checkbox" id="kb_path"
+     onchange="kbLive()" title="show the camera crop path overlay
+instead of the rendered frame while scrubbing"></label>
   <a id="kb_dl" style="display:none" href="/get_result"
      download="kenburns.mp4">download video</a></div>
  <div class="row" id="kb_boxes" style="display:none">
@@ -196,8 +202,11 @@ function azPreview(){
     '/autozoom_preview?_='+Date.now();}
 function kbLive(){
   const t=document.getElementById('kb_t').value;
-  document.getElementById('kb_img').src='/get_live?fltTime='+t+
-    '&_='+Date.now();}
+  // path mode: the camera crop-path overlay (from/to boxes +
+  // trajectory + interpolated rectangle at t) instead of the frame
+  const ep=document.getElementById('kb_path').checked
+    ?'/path_overlay?fltTime=':'/get_live?fltTime=';
+  document.getElementById('kb_img').src=ep+t+'&_='+Date.now();}
 async function cfgApply(){
   const body={depth_est:document.getElementById('cfg_depth').value,
     inpaint_type:document.getElementById('cfg_inpaint').value,

@@ -294,6 +294,65 @@ def test_stepping_routes(rng):
         srv.shutdown()
 
 
+def test_path_overlay_route(rng):
+    """Camera-path scrub preview (VERDICT r4 item 10; reference
+    stepping tab, Component_AIS.py:1424-1696): /path_overlay draws
+    the from/to boxes + trajectory + the interpolated crop rectangle
+    at t, centralise-clamped into the image."""
+    from cartoonsegmentation_tpu.serving.interface import (
+        _center_to_corner, _centralise_box)
+
+    # the math helpers mirror the reference exactly
+    assert _center_to_corner(10, 8, 6, 4) == (7, 6, 13, 10)
+    # out-of-bounds left/top → shifted right/down to touch the edge
+    assert _centralise_box(1, 1, 6, 4, 48, 40) == (3, 2)
+    # out-of-bounds right/bottom → shifted back inside
+    assert _centralise_box(47, 39, 6, 4, 48, 40) == (45, 38)
+    # already inside → unchanged
+    assert _centralise_box(24, 20, 6, 4, 48, 40) == (24, 20)
+
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         point_capacity_factor=1.2, depth_est='default',
+                         playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    srv = serve(pipe, '127.0.0.1', 0, block=False)
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        # before an image is loaded → clean error
+        r = requests.get(f'{base}/path_overlay?fltTime=0.5')
+        assert r.status_code == 500 and 'no image' in r.json()['error']
+
+        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode('.png', img)
+        requests.post(f'{base}/load_image', data=enc.tobytes())
+        # give the path a nontrivial trajectory + zoom
+        requests.post(f'{base}/update_to', data=json.dumps(
+            {'center_u': 34.0, 'center_v': 26.0,
+             'crop_w': 20, 'crop_h': 16}))
+
+        def overlay(t):
+            r = requests.get(f'{base}/path_overlay?fltTime={t}')
+            assert r.status_code == 200
+            im = cv2.imdecode(np.frombuffer(r.content, np.uint8),
+                              cv2.IMREAD_COLOR)
+            assert im is not None and im.shape == (40, 48, 3)
+            return im
+
+        o0, o5, o1 = overlay(0.0), overlay(0.5), overlay(1.0)
+        # scrubbing moves the interpolated rectangle: each position
+        # renders a different overlay
+        assert (o0 != o5).any() and (o5 != o1).any()
+        # out-of-range t clamps instead of erroring
+        r = requests.get(f'{base}/path_overlay?fltTime=7')
+        assert r.status_code == 200
+
+        # the browser page wires the toggle to the route
+        page = requests.get(f'{base}/').text
+        assert '/path_overlay' in page and 'kb_path' in page
+    finally:
+        srv.shutdown()
+
+
 def test_style_prepare_apply(rng):
     """Per-instance style editing round-trip (reference interaction:
     Web_UI/Component/Component_Style_Editing.py:1345-2219):
