@@ -49,16 +49,9 @@ def main() -> None:
     import cv2
     import jax
 
-    try:
-        os.makedirs('.jax_cache', exist_ok=True)
-        jax.config.update('jax_compilation_cache_dir',
-                          os.path.abspath('.jax_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                          1.0)
-        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    from cartoonsegmentation_tpu.utils.env import enable_compilation_cache
+    if enable_compilation_cache():
         log('persistent compilation cache: .jax_cache/')
-    except Exception as e:  # cache is an optimization, never a blocker
-        log(f'compilation cache unavailable: {e}')
 
     # The runtime memoizes executions by VALUE, and the cache persists
     # across processes; model weights are deterministically seeded, so

@@ -46,6 +46,11 @@ class KenBurnsPipeline:
                  seed: int = 0):
         self.cfg = build_kenburns_cfg(cfg)
         self._seed = seed
+        # persistent XLA compile cache: a second process (CLI, server
+        # restart, bench re-run) skips the multi-minute tunnel
+        # compiles of the big pipeline graphs entirely
+        from ..utils.env import enable_compilation_cache
+        enable_compilation_cache()
         from ..models.leres import LeReS
         self._disparity_net = DisparityEstimator()
         self._inpaint_net = Inpaint()

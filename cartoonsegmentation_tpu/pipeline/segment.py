@@ -49,6 +49,8 @@ class AnimeInsSeg:
     def __init__(self, det_size: int = 640, mask_thr: float = 0.3,
                  max_instances: int = 100,
                  dtype: Optional[str] = 'auto', seed: int = 0):
+        from ..utils.env import enable_compilation_cache
+        enable_compilation_cache()
         self.det_size = det_size
         self.mask_thr = mask_thr
         self.max_instances = max_instances

@@ -50,3 +50,19 @@ def test_io_helpers(tmp_path, rng):
     assert find_all_imgs(str(tmp_path)) == ['a.png']
 
     set_multi_processing()  # idempotent, no raise
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Every pipeline entry point turns on the persistent XLA compile
+    cache (a second process skips the multi-minute tunnel compiles);
+    the helper is idempotent and honors $CARTOONSEG_JAX_CACHE."""
+    import jax
+
+    from cartoonsegmentation_tpu.utils import env as env_mod
+    monkeypatch.setattr(env_mod, '_CACHE_ENABLED', False)
+    monkeypatch.setenv('CARTOONSEG_JAX_CACHE', str(tmp_path / 'jc'))
+    assert env_mod.enable_compilation_cache() is True
+    assert (tmp_path / 'jc').is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / 'jc')
+    # second call: cached short-circuit
+    assert env_mod.enable_compilation_cache() is True
