@@ -17,6 +17,7 @@ cached device state (naive_interface.py:132-173).
 """
 from __future__ import annotations
 
+import base64
 import io
 import json
 import threading
@@ -251,7 +252,7 @@ class KenBurnsService:
                    'dof_num_samples', 'depthest_use_medium',
                    'marigold_steps', 'marigold_ensemble',
                    'marigold_scheduler', 'ldm_inpaint_size',
-                   'detector')
+                   'detector', 'depth_factor')
 
     def set_config(self, payload: Dict) -> Dict:
         """Rebuild the pipeline with updated config knobs, carrying
@@ -384,12 +385,34 @@ class KenBurnsService:
             self.frame_cache[key] = data
             return data
 
-    def segment(self, img_bytes: bytes) -> Dict:
+    def frames_gallery(self, n: int = 6) -> Dict:
+        """n preview frames stepped along the camera path, as b64
+        JPEGs — the reference stepping tab's "Generate Camera View"
+        batched output box (Component_AIS.py:1052-1262 →
+        Create_Output_BatchedImageBox gallery, :420-434). Renders
+        through live_frame so every position reuses the per-t frame
+        cache and the T=1 compiled renderer."""
+        n = max(2, min(int(n), 16))
+        with self.lock:
+            if self.state is None:
+                raise ValueError('no image loaded')
+        frames = []
+        for t in np.linspace(0.0, 1.0, n):
+            frames.append(base64.b64encode(
+                self.live_frame(float(t))).decode())
+        return {'frames': frames, 'count': n}
+
+    def segment(self, img_bytes: bytes,
+                opts: Optional[Dict] = None) -> Dict:
         """Detect instances (browser UI tab); returns per-instance
-        boxes/scores plus a base64 mask-overlay JPEG."""
+        boxes/scores plus a base64 mask-overlay JPEG. `opts` carries
+        the reference stepping tab's draw-options box
+        (Component_AIS.py:1881-1916): draw_bbox / draw_mask /
+        draw_tags toggles and the mask-alpha slider."""
         import base64
 
         import cv2
+        opts = opts or {}
         if self.segmentor is None:
             raise ValueError('no segmentor configured '
                              '(serve(..., segmentor=...))')
@@ -404,10 +427,32 @@ class KenBurnsService:
         out = [{'bbox': [float(v) for v in boxes[i]],
                 'score': float(scores[i])}
                for i in range(len(valid)) if valid[i]]
-        overlay = ins.draw(img)
+        tags_by_slot: Optional[list] = None
+        note = None
+        if opts.get('draw_tags'):
+            # infer_tags returns tags per VALID instance in
+            # flatnonzero(valid) order; draw() indexes by slot
+            try:
+                tags, _ = self.segmentor.infer_tags(ins, img)
+                tags_by_slot = [''] * len(valid)
+                for pos, slot in enumerate(np.flatnonzero(valid)):
+                    tags_by_slot[slot] = tags[pos]
+                for rec, t in zip(out, tags):
+                    rec['tags'] = t
+            except Exception as e:  # tagger ckpt missing etc.
+                note = f'tags unavailable: {e}'
+        overlay = ins.draw(
+            img,
+            draw_bbox=bool(opts.get('draw_bbox', True)),
+            draw_ins_mask=bool(opts.get('draw_mask', True)),
+            tags=tags_by_slot,
+            mask_alpha=float(opts.get('mask_alpha', 0.75)))
         ok, enc = cv2.imencode('.jpg', overlay)
-        return {'instances': out,
+        resp = {'instances': out,
                 'overlay': base64.b64encode(enc.tobytes()).decode()}
+        if note:
+            resp['note'] = note
+        return resp
 
     def style(self, payload: Dict) -> Dict:
         """Per-instance style repaint (Web UI style tab — the
@@ -578,8 +623,11 @@ class KenBurnsService:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def result_video(self) -> bytes:
-        """Full render with inpainting → mp4 bytes."""
+    def result_video(self, inpaint: bool = True) -> bytes:
+        """Full render with inpainting → mp4 bytes. `inpaint=False`
+        skips the disocclusion inpaint passes on export — the
+        reference stepping tab's IsInpainting checkbox
+        (Component_AIS.py:2185-2189)."""
         import tempfile
         import os
         from ..pipeline import write_video
@@ -590,7 +638,7 @@ class KenBurnsService:
             # is only set by step_inpaint, which stores it)
             frames = self.pipe.process_kenburns(
                 self.state, self.obj_from, self.obj_to,
-                inpaint=not self.inpainted)
+                inpaint=inpaint and not self.inpainted)
         with tempfile.NamedTemporaryFile(suffix='.mp4',
                                          delete=False) as f:
             path = f.name
@@ -621,12 +669,22 @@ def make_handler(service: KenBurnsService):
         def do_POST(self):
             n = int(self.headers.get('Content-Length', 0))
             body = self.rfile.read(n)
-            path = urlparse(self.path).path
+            parsed = urlparse(self.path)
+            path = parsed.path
             try:
                 if path == '/load_image':
                     self._json(service.load_image(body))
                 elif path == '/segment':
-                    self._json(service.segment(body))
+                    # draw options ride the query string (the body is
+                    # the raw image): ?draw_bbox=0&draw_tags=1&...
+                    q = parse_qs(parsed.query)
+                    opts = {}
+                    for k in ('draw_bbox', 'draw_mask', 'draw_tags'):
+                        if k in q:
+                            opts[k] = q[k][0] not in ('0', 'false', '')
+                    if 'mask_alpha' in q:
+                        opts['mask_alpha'] = float(q['mask_alpha'][0])
+                    self._json(service.segment(body, opts))
                 elif path in ('/update_from', '/update_to'):
                     service.update_box(path.rsplit('_', 1)[1],
                                        json.loads(body or b'{}'))
@@ -683,13 +741,19 @@ def make_handler(service: KenBurnsService):
                                 ConnectionResetError):
                             pass            # client went away
                 elif parsed.path == '/get_result':
-                    self._send(200, service.result_video(), 'video/mp4')
+                    inp = q.get('inpaint', ['1'])[0] \
+                        not in ('0', 'false', '')
+                    self._send(200, service.result_video(inpaint=inp),
+                               'video/mp4')
                 elif parsed.path == '/stages':
                     self._json({'stages': service.stage_list()})
                 elif parsed.path == '/stage':
                     name = q.get('name', [''])[0]
                     self._send(200, service.stage_image(name),
                                'image/jpeg')
+                elif parsed.path == '/frames_gallery':
+                    n = int(q.get('n', ['6'])[0])
+                    self._json(service.frames_gallery(n))
                 elif parsed.path == '/path_overlay':
                     t = float(q.get('fltTime', ['0'])[0])
                     self._send(200, service.path_overlay(t),

@@ -71,6 +71,10 @@ PAGE_HTML = """<!doctype html>
    <option>animeinsseg</option><option>sam</option>
    <option>maskrcnn</option><option>none</option></select></label>
   <label>DoF <input type="checkbox" id="cfg_dof" checked></label>
+  <label>frames <input type="number" id="cfg_frames" value="75"
+   min="2" max="300" style="width:4em"></label>
+  <label>depth&nbsp;factor <input type="number" id="cfg_dfac"
+   value="1" min="1" max="8" style="width:3em"></label>
   <button onclick="cfgApply()">apply config</button></div>
  <div class="row">
   t=<input type="range" id="kb_t" min="0" max="1" step="0.02" value="0"
@@ -78,6 +82,9 @@ PAGE_HTML = """<!doctype html>
   <label>path <input type="checkbox" id="kb_path"
      onchange="kbLive()" title="show the camera crop path overlay
 instead of the rendered frame while scrubbing"></label>
+  <label>inpaint export <input type="checkbox" id="kb_inp" checked
+     onchange="kbDlHref()" title="run the disocclusion inpaint
+passes on export (reference IsInpainting checkbox)"></label>
   <a id="kb_dl" style="display:none" href="/get_result"
      download="kenburns.mp4">download video</a></div>
  <div class="row" id="kb_boxes" style="display:none">
@@ -99,13 +106,23 @@ instead of the rendered frame while scrubbing"></label>
   <button class="stagebtn" onclick="stepNext()">next &#9654;</button>
   <span id="kb_stagebtns"></span>
   <button class="stagebtn" onclick="stepInpaint()">run inpaint
-   step</button></div>
+   step</button>
+  <button class="stagebtn" onclick="kbViews()">camera views</button>
+  <label>n <input type="number" id="kb_nviews" value="6" min="2"
+   max="16" style="width:3em"></label></div>
+ <div class="row" id="kb_gallery" style="display:none;white-space:
+  nowrap;overflow-x:auto"></div>
  <div class="row"><img id="kb_img"></div>
 </div>
 
 <div id="pane_seg" class="pane">
  <div class="row"><input type="file" id="seg_file" accept="image/*">
-  <button onclick="segRun()">Detect</button></div>
+  <button onclick="segRun()">Detect</button>
+  <label>bbox <input type="checkbox" id="seg_bbox" checked></label>
+  <label>mask <input type="checkbox" id="seg_mask" checked></label>
+  <label>tags <input type="checkbox" id="seg_tags"></label>
+  <label>alpha <input type="range" id="seg_alpha" min="0" max="1"
+   step="0.05" value="0.75" style="width:6em"></label></div>
  <div class="row"><img id="seg_img"></div>
  <pre id="seg_json"></pre>
 </div>
@@ -207,11 +224,33 @@ function kbLive(){
   const ep=document.getElementById('kb_path').checked
     ?'/path_overlay?fltTime=':'/get_live?fltTime=';
   document.getElementById('kb_img').src=ep+t+'&_='+Date.now();}
+async function kbViews(){
+  // the stepping tab's "Generate Camera View" batched output box:
+  // n frames stepped along the camera path, shown as a filmstrip
+  const n=+document.getElementById('kb_nviews').value||6;
+  st('rendering '+n+' camera views...');
+  const r=await fetch('/frames_gallery?n='+n);
+  const j=await r.json();
+  if(j.error){st('error: '+j.error);return}
+  const g=document.getElementById('kb_gallery');
+  g.innerHTML=''; g.style.display='block';
+  for(let i=0;i<j.frames.length;i++){
+    const im=document.createElement('img');
+    im.src='data:image/jpeg;base64,'+j.frames[i];
+    im.style.maxWidth=(96/j.frames.length)+'%';
+    im.title='t='+(i/(j.frames.length-1)).toFixed(2);
+    g.appendChild(im);}
+  st(j.count+' camera views');}
+function kbDlHref(){
+  document.getElementById('kb_dl').href='/get_result?inpaint='+
+    (+document.getElementById('kb_inp').checked);}
 async function cfgApply(){
   const body={depth_est:document.getElementById('cfg_depth').value,
     inpaint_type:document.getElementById('cfg_inpaint').value,
     detector:document.getElementById('cfg_det').value,
-    depth_field:document.getElementById('cfg_dof').checked};
+    depth_field:document.getElementById('cfg_dof').checked,
+    num_frame:+document.getElementById('cfg_frames').value||75,
+    depth_factor:+document.getElementById('cfg_dfac').value||1};
   const r=await fetch('/config',{method:'POST',
     body:JSON.stringify(body)});
   const j=await r.json();
@@ -231,7 +270,12 @@ async function segRun(){
   const f=document.getElementById('seg_file').files[0];
   if(!f){st('choose an image first');return}
   st('detecting...');
-  const r=await fetch('/segment',{method:'POST',body:f});
+  // draw options box (reference Component_AIS.py:1881-1916)
+  const qp='?draw_bbox='+(+document.getElementById('seg_bbox').checked)
+    +'&draw_mask='+(+document.getElementById('seg_mask').checked)
+    +'&draw_tags='+(+document.getElementById('seg_tags').checked)
+    +'&mask_alpha='+document.getElementById('seg_alpha').value;
+  const r=await fetch('/segment'+qp,{method:'POST',body:f});
   const j=await r.json();
   if(j.error){st('error: '+j.error);return}
   st(j.instances.length+' instance(s)');
@@ -376,6 +420,10 @@ async function styRun(){
     if(c[k]!==undefined)document.getElementById(id).value=c[k];
   if(c.depth_field!==undefined)
     document.getElementById('cfg_dof').checked=c.depth_field;
+  if(c.num_frame!==undefined)
+    document.getElementById('cfg_frames').value=c.num_frame;
+  if(c.depth_factor!==undefined)
+    document.getElementById('cfg_dfac').value=c.depth_factor;
 }catch(e){}})();
 </script></body></html>
 """

@@ -84,6 +84,27 @@ def test_webui_page_and_segment(rng):
             base64.b64decode(out['overlay']), np.uint8), cv2.IMREAD_COLOR)
         assert overlay is not None and overlay.shape[-1] == 3
 
+        # draw-options box (reference Component_AIS.py:1881-1916):
+        # bbox/mask off + alpha → still a decodable overlay; tags on
+        # with no usable tagger checkpoint degrades to a note, not a
+        # 500 (the strict tagger raises inside, segment catches it)
+        r = requests.post(
+            f'{base}/segment?draw_bbox=0&draw_mask=0&mask_alpha=0.2'
+            '&draw_tags=1', data=enc.tobytes())
+        out2 = r.json()
+        assert r.status_code == 200 and 'overlay' in out2
+        plain = cv2.imdecode(np.frombuffer(
+            base64.b64decode(out2['overlay']), np.uint8),
+            cv2.IMREAD_COLOR)
+        # nothing drawn → overlay is the (resized) input, unmarked
+        assert plain is not None
+        if out2['instances']:
+            assert 'note' in out2   # tagger unavailable in tests
+        # the page exposes the option controls
+        page = requests.get(f'{base}/').text
+        for needle in ('seg_bbox', 'seg_tags', 'seg_alpha'):
+            assert needle in page
+
         # garbage upload → clean error json
         r = requests.post(f'{base}/segment', data=b'not an image')
         assert r.status_code == 500 and 'error' in r.json()
@@ -271,6 +292,11 @@ def test_stepping_routes(rng):
         r = requests.get(f'{base}/stage?name=' + inp[0])
         assert r.status_code == 200
 
+        # inpaint=0 export (reference IsInpainting checkbox,
+        # Component_AIS.py:2185): still a playable mp4
+        r = requests.get(f'{base}/get_result?inpaint=0')
+        assert r.status_code == 200 and len(r.content) > 0
+
         # result reuses the inpainted state; box update invalidates
         # AND restores the pristine (pre-inpaint) cloud so the new
         # extremes don't stack passes onto stale inpainted points
@@ -349,6 +375,22 @@ def test_path_overlay_route(rng):
         # the browser page wires the toggle to the route
         page = requests.get(f'{base}/').text
         assert '/path_overlay' in page and 'kb_path' in page
+
+        # camera-views gallery (reference "Generate Camera View"
+        # batched output, Component_AIS.py:1052-1262): n stepped
+        # frames as b64 JPEGs, served through the per-t frame cache
+        g = requests.get(f'{base}/frames_gallery?n=3').json()
+        assert g['count'] == 3 and len(g['frames']) == 3
+        import base64 as _b64
+        for fr in g['frames']:
+            im = cv2.imdecode(np.frombuffer(_b64.b64decode(fr),
+                                            np.uint8), cv2.IMREAD_COLOR)
+            assert im is not None and im.shape == (40, 48, 3)
+        assert len(srv.service.frame_cache) >= 3   # cache populated
+        # n clamps to [2, 16]
+        assert requests.get(
+            f'{base}/frames_gallery?n=99').json()['count'] == 16
+        assert '/frames_gallery' in page and 'kbViews' in page
     finally:
         srv.shutdown()
 
@@ -475,15 +517,18 @@ def test_config_route_switches_pipeline(rng):
 
         r = requests.post(f'{base}/config', data=json.dumps(
             {'depth_field': True, 'num_frame': 2,
-             'dof_num_samples': 8, 'unknown_key': 1}))
+             'dof_num_samples': 8, 'depth_factor': 2,
+             'unknown_key': 1}))
         body = r.json()
         assert body['ok'] is True
         assert set(body['changed']) == {'depth_field', 'num_frame',
-                                        'dof_num_samples'}
+                                        'dof_num_samples',
+                                        'depth_factor'}
         h = requests.get(f'{base}/health').json()
         assert h['loaded'] is False            # state dropped
         assert h['config']['depth_field'] is True
         assert h['config']['num_frame'] == 2
+        assert h['config']['depth_factor'] == 2
 
         # weights carried to the rebuilt pipeline; it still serves
         requests.post(f'{base}/load_image', data=enc.tobytes())
