@@ -185,15 +185,18 @@ class LDMInpainter:
         k1, k2, k3, k4 = jax.random.split(key, 4)
         lh, lw = latent_hw
         sf = self.vae_scale
+        from ..utils.env import jit_init
         self.variables = {
-            'unet': self.unet.init(
-                k1, jnp.zeros((1, lh, lw, 9), jnp.float32),
+            'unet': jit_init(
+                self.unet, k1, jnp.zeros((1, lh, lw, 9), jnp.float32),
                 jnp.zeros((1,), jnp.int32),
                 jnp.zeros((1, self.context_len, self.context_dim))),
-            'encoder': self.encoder.init(
-                k2, jnp.zeros((1, lh * sf, lw * sf, 3), jnp.float32)),
-            'decoder': self.decoder.init(
-                k3, jnp.zeros((1, lh, lw, 4), jnp.float32)),
+            'encoder': jit_init(
+                self.encoder, k2,
+                jnp.zeros((1, lh * sf, lw * sf, 3), jnp.float32)),
+            'decoder': jit_init(
+                self.decoder, k3,
+                jnp.zeros((1, lh, lw, 4), jnp.float32)),
             'cond': jax.random.normal(
                 k4, (1, self.context_len, self.context_dim)) * 0.02,
             'uncond': jnp.zeros(

@@ -82,12 +82,14 @@ class MarigoldDepth:
         img = jnp.zeros((1, lh * sf, lw * sf, 3), jnp.float32)
         lat = jnp.zeros((1, lh, lw, 8), jnp.float32)
         ctx = jnp.zeros((1, 2, self.context_dim), jnp.float32)
+        from ..utils.env import jit_init
         self.variables = {
-            'unet': self.unet.init(k1, lat, jnp.zeros((1,), jnp.int32),
-                                   ctx),
-            'encoder': self.encoder.init(k2, img),
-            'decoder': self.decoder.init(
-                k3, jnp.zeros((1, lh, lw, 4), jnp.float32)),
+            'unet': jit_init(self.unet, k1, lat,
+                             jnp.zeros((1,), jnp.int32), ctx),
+            'encoder': jit_init(self.encoder, k2, img),
+            'decoder': jit_init(
+                self.decoder, k3,
+                jnp.zeros((1, lh, lw, 4), jnp.float32)),
             'text_embed': jax.random.normal(
                 k4, (1, 2, self.context_dim), jnp.float32) * 0.02,
         }

@@ -127,8 +127,9 @@ class Tagger:
                 import jax
                 import jax.numpy as jnp
                 s = self.input_size
-                self._variables = self._net.init(
-                    jax.random.PRNGKey(seed),
+                from ..utils.env import jit_init
+                self._variables = jit_init(
+                    self._net, jax.random.PRNGKey(seed),
                     jnp.zeros((1, s, s, 3), jnp.float32))
             import jax
             self._fwd = jax.jit(

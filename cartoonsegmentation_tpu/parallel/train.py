@@ -47,7 +47,8 @@ class TrainState(NamedTuple):
 def create_train_state(model: AnimeDetector, rng, input_hw: Tuple[int, int],
                        tx: optax.GradientTransformation) -> TrainState:
     dummy = jnp.zeros((1,) + tuple(input_hw) + (3,), jnp.float32)
-    variables = model.init(rng, dummy)
+    from ..utils.env import jit_init
+    variables = jit_init(model, rng, dummy)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     return TrainState(params, batch_stats, tx.init(params),

@@ -78,19 +78,22 @@ class KenBurnsPipeline:
         if getattr(self, attr) is None:
             LOGGER.warning(f'kenburns {which} net: RANDOM init '
                            '(no checkpoint loaded)')
+            from ..utils.env import jit_init
             key = jax.random.PRNGKey(self._seed)
             if which == 'disparity':
                 dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-                v = net.init(key, dummy)
+                v = jit_init(net, key, dummy)
             elif which == 'refine':
-                v = net.init(key, jnp.zeros((1, 64, 64, 3)),
+                v = jit_init(net, key, jnp.zeros((1, 64, 64, 3)),
                              jnp.zeros((1, 16, 16, 1)))
             elif which == 'leres':
-                v = net.init(key, jnp.zeros((1, 64, 64, 3)))
+                v = jit_init(net, key, jnp.zeros((1, 64, 64, 3)))
             else:
-                v = net.init(key, jnp.zeros((32, 32, 3)),
-                             jnp.ones((32, 32, 1)), jnp.zeros((3,)),
-                             16.0, 40.0)
+                # focal/baseline closed over (python scalars stay static)
+                v = jax.jit(lambda k, a, b, c: net.init(
+                    k, a, b, c, 16.0, 40.0))(
+                    key, jnp.zeros((32, 32, 3)),
+                    jnp.ones((32, 32, 1)), jnp.zeros((3,)))
             setattr(self, attr, v)
         return getattr(self, attr)
 
@@ -420,8 +423,9 @@ class KenBurnsPipeline:
             if getattr(self, '_p2p_vars', None) is None:
                 LOGGER.warning('pix2pix merge net: RANDOM init '
                                '(no checkpoint loaded)')
-                self._p2p_vars = p2p.init(
-                    jax.random.PRNGKey(self._seed),
+                from ..utils.env import jit_init
+                self._p2p_vars = jit_init(
+                    p2p, jax.random.PRNGKey(self._seed),
                     jnp.zeros((1, 1024, 1024, 2), jnp.float32))
             # max_res=None → per-image max(W, H), matching the
             # reference estimateboost call (leres/__init__.py:113)
@@ -483,8 +487,9 @@ class KenBurnsPipeline:
             else:
                 LOGGER.warning(
                     'zoedepth: RANDOM init (no checkpoint loaded)')
-                self._zoe_vars = self._zoe_net.init(
-                    jax.random.PRNGKey(self._seed),
+                from ..utils.env import jit_init
+                self._zoe_vars = jit_init(
+                    self._zoe_net, jax.random.PRNGKey(self._seed),
                     jnp.zeros((1, zh, zw, 3), jnp.float32))
         # id(net) in the key: the cached fn closes over the net, so a
         # variant/size rebuild (e.g. after load_zoe_checkpoint flips

@@ -65,8 +65,9 @@ class MaskRCNNDetector:
         if self._variables is None:
             LOGGER.warning('MaskRCNNDetector: initializing RANDOM '
                            'weights (no checkpoint loaded)')
-            self._variables = self.model.init(
-                jax.random.PRNGKey(self._seed),
+            from ..utils.env import jit_init
+            self._variables = jit_init(
+                self.model, jax.random.PRNGKey(self._seed),
                 jnp.zeros((1, ch, cw, 3), jnp.float32))
         return self._variables
 

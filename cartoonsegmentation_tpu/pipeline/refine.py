@@ -36,8 +36,9 @@ class ISNetRefiner:
         if self._variables is None:
             LOGGER.warning('ISNetRefiner: RANDOM init (no checkpoint)')
             s = 64
-            self._variables = self.net.init(
-                jax.random.PRNGKey(self._seed),
+            from ..utils.env import jit_init
+            self._variables = jit_init(
+                self.net, jax.random.PRNGKey(self._seed),
                 jnp.zeros((1, s, s, 4), jnp.float32))
         return self._variables
 
@@ -185,8 +186,9 @@ class AnimeSegRefiner:
                            '(no checkpoint)', self.net_name)
             # isnet_gt is single-channel (its run fn feeds luma)
             in_ch = 1 if self.net_name == 'isnet_gt' else 3
-            self._variables = self.net.init(
-                jax.random.PRNGKey(self._seed),
+            from ..utils.env import jit_init
+            self._variables = jit_init(
+                self.net, jax.random.PRNGKey(self._seed),
                 jnp.zeros((1, 64, 64, in_ch), jnp.float32))
         return self._variables
 

@@ -82,8 +82,9 @@ class NativeSAM:
             LOGGER.warning('NativeSAM: initializing RANDOM weights '
                            '(no checkpoint loaded)')
             S = self.img_size
-            self._variables = self.model.init(
-                jax.random.PRNGKey(self._seed),
+            from ..utils.env import jit_init
+            self._variables = jit_init(
+                self.model, jax.random.PRNGKey(self._seed),
                 jnp.zeros((1, S, S, 3), jnp.float32),
                 jnp.zeros((1, 4), jnp.float32))
         return self._variables

@@ -75,8 +75,9 @@ class AnimeInsSeg:
                            'weights (no checkpoint loaded)')
             dummy = jnp.zeros((1, self.det_size, self.det_size, 3),
                               jnp.float32)
-            self._variables = self.model.init(
-                jax.random.PRNGKey(self._seed), dummy)
+            from ..utils.env import jit_init
+            self._variables = jit_init(
+                self.model, jax.random.PRNGKey(self._seed), dummy)
         return self._variables
 
     def load_variables(self, variables) -> None:

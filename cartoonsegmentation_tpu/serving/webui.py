@@ -54,6 +54,7 @@ PAGE_HTML = """<!doctype html>
  <button id="tb_kb" class="on" onclick="tab('kb')">Ken Burns</button>
  <button id="tb_seg" onclick="tab('seg')">Segmentation</button>
  <button id="tb_sty" onclick="tab('sty')">Style</button>
+ <button id="tb_nfo" onclick="tab('nfo');nfoLoad()">Info</button>
 </div>
 <div id="status"></div>
 
@@ -112,7 +113,10 @@ passes on export (reference IsInpainting checkbox)"></label>
    max="16" style="width:3em"></label></div>
  <div class="row" id="kb_gallery" style="display:none;white-space:
   nowrap;overflow-x:auto"></div>
- <div class="row"><img id="kb_img"></div>
+ <div class="row"><img id="kb_img"
+  title="in path mode: click to place the FROM camera center,
+shift+click the TO center (reference stepping-tab image selection)"
+  onclick="kbPlace(event)"></div>
 </div>
 
 <div id="pane_seg" class="pane">
@@ -125,6 +129,12 @@ passes on export (reference IsInpainting checkbox)"></label>
    step="0.05" value="0.75" style="width:6em"></label></div>
  <div class="row"><img id="seg_img"></div>
  <pre id="seg_json"></pre>
+</div>
+
+<div id="pane_nfo" class="pane">
+ <!-- reference Create_Information_Tab (Component_AIS.py:2720-2726) +
+      the setting tab's runtime view: live server health/config -->
+ <pre id="nfo_json">loading...</pre>
 </div>
 
 <div id="pane_sty" class="pane">
@@ -156,7 +166,7 @@ passes on export (reference IsInpainting checkbox)"></label>
 </div>
 
 <script>
-function tab(k){for(const p of ['kb','seg','sty']){
+function tab(k){for(const p of ['kb','seg','sty','nfo']){
   document.getElementById('pane_'+p).classList.toggle('on', p===k);
   document.getElementById('tb_'+p).classList.toggle('on', p===k);}}
 function st(m){document.getElementById('status').textContent=m}
@@ -256,6 +266,30 @@ async function cfgApply(){
   const j=await r.json();
   if(j.error){st('error: '+j.error);return}
   st('config applied ('+j.changed.join(', ')+') — reload the image');}
+async function kbPlace(e){
+  // click-to-place camera centers while scrubbing the path overlay —
+  // the reference's DoOnImageBox_Stepping_TabSelecting interaction
+  // (Component_AIS.py:1424-1509): click moves the FROM camera center
+  // to the clicked point, shift+click moves the TO center; the
+  // server centralise-clamps the box into the image.
+  if(!document.getElementById('kb_path').checked)return;
+  const im=e.target;
+  if(!im.naturalWidth)return;
+  const rect=im.getBoundingClientRect();
+  const sx=im.naturalWidth/rect.width, sy=im.naturalHeight/rect.height;
+  const x=(e.clientX-rect.left)*sx, y=(e.clientY-rect.top)*sy;
+  const p=e.shiftKey?'t':'f';
+  document.getElementById(p+'_cx').value=Math.round(x);
+  document.getElementById(p+'_cy').value=Math.round(y);
+  await kbUpdate();
+  st((e.shiftKey?'TO':'FROM')+' camera center -> ('+Math.round(x)+
+     ', '+Math.round(y)+')');}
+async function nfoLoad(){
+  try{const j=await (await fetch('/health')).json();
+    document.getElementById('nfo_json').textContent=
+      JSON.stringify(j,null,1);}
+  catch(e){document.getElementById('nfo_json').textContent=
+      'health fetch failed: '+e;}}
 async function kbUpdate(){
   for(const [p,ep] of [['f','/update_from'],['t','/update_to']]){
     const box={center_u:+document.getElementById(p+'_cx').value,

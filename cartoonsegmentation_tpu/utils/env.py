@@ -48,6 +48,20 @@ def enable_compilation_cache(path: str = '') -> bool:
         return False
 
 
+def jit_init(module, key, *args):
+    """``module.init`` as ONE jitted XLA program.
+
+    Un-jitted Flax init dispatches every weight-init op individually —
+    hundreds of round trips on a remote-TPU tunnel (measured: 155 s for
+    the RTMDet tower at det_size=320 vs ~10 s jitted-and-compiled and
+    <1 s on a persistent-cache hit). The jitted init is also written to
+    the persistent compilation cache, so later processes skip even the
+    compile. Pass only prng-key/array arguments; close over python
+    scalars at the call site."""
+    import jax
+    return jax.jit(module.init)(key, *args)
+
+
 def set_multi_processing(mp_start_method: str = 'fork',
                          opencv_num_threads: int = 0,
                          omp_num_threads: int = 1,

@@ -142,7 +142,9 @@ def main():
                        total_steps=max(total, warmup + 1))
 
     rng = jax.random.PRNGKey(args.seed)
-    variables = model.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    from cartoonsegmentation_tpu.utils.env import jit_init
+    variables = jit_init(model, rng,
+                         jnp.zeros((1, h, w, 3), jnp.float32))
     params = variables['params']
     if args.resume:
         LOGGER.info(f'resuming params from {args.resume}')

@@ -72,7 +72,10 @@ def test_webui_page_and_segment(rng):
         assert r.status_code == 200
         assert 'text/html' in r.headers['Content-Type']
         for needle in ('kbLoad', '/segment', '/get_live',
-                       'CartoonSegmentation'):
+                       'CartoonSegmentation',
+                       # stepping-tab interactions: click-to-place
+                       # camera centers + the information tab
+                       'kbPlace', 'nfoLoad', 'pane_nfo'):
             assert needle in r.text
 
         img = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
