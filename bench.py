@@ -228,9 +228,15 @@ def main() -> None:
         img3 = cv2.convertScaleAbs(
             img, alpha=float(entropy.uniform(0.99, 0.9945)))
         log('clip: steady timed run')
+        snap_t = dict(pipe.timer.seconds)
         t0 = time.time()
         pipe.run(img3, '/tmp/bench_clip.mp4')
         extra['clip_wall_s'] = round(time.time() - t0, 3)
+        extra['clip_stage_s'] = {
+            k: round(v - snap_t.get(k, 0.0), 2)
+            for k, v in pipe.timer.seconds.items()
+            if v - snap_t.get(k, 0.0) > 0.05}
+        log(f"clip stage breakdown: {extra['clip_stage_s']}")
     phase('clip_wall', 300, p_clip)
 
     def p_det_bench():
