@@ -634,7 +634,7 @@ class KenBurnsPipeline:
             best_u, best_v, crop_w_to, crop_h_to = autozoom(
                 state.raw_points, state.depth_range, W, H, cfg.focal,
                 cfg.baseline, cfg.autozoom_shift, cfg.autozoom_zoom,
-                cfg.crop_ratio)
+                cfg.crop_ratio, stride=cfg.autozoom_stride)
             best_u, best_v = jax.block_until_ready((best_u, best_v))
         obj_to = {
             'center_u': obj_from['center_u'] + float(best_u),

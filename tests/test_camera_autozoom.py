@@ -62,6 +62,63 @@ def test_autozoom_matches_reference_loop(rng):
     assert ch == int(round(crop_h_from / flt_zoom))
 
 
+def test_autozoom_miniature_quality(rng):
+    """The stride-2 miniature search (the pipeline default,
+    config.autozoom_stride) must pick a candidate whose EXACT
+    full-resolution coverage is essentially the optimum: the search
+    objective is a coverage fraction, and the miniature is a true
+    half-res render of the same scene, so only holes narrower than
+    the stride can flip the pick between near-tied candidates."""
+    H, W = 64, 96
+    # structured scene: far background plane + two near blobs whose
+    # disocclusion holes grow with shift away from them
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    depth = np.full((H, W), 500.0, np.float32)
+    for (cy, cx, r, d) in ((20.0, 30.0, 12.0, 300.0),
+                           (44.0, 70.0, 9.0, 340.0)):
+        blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+        depth = np.where(blob, np.float32(d), depth)
+    depth += (rng.rand(H, W).astype(np.float32) - 0.5) * 2.0
+    focal, baseline, flt_shift = 48.0, 40.0, 12.0
+
+    pts = jnp.asarray(
+        np.array(depth_to_points(jnp.asarray(depth), focal))
+        .reshape(-1, 3))
+    dr = depth_range(jnp.asarray(depth))
+
+    picks = {}
+    for stride in (1, 2):
+        bu, bv, cw, ch = autozoom(pts, dr, W, H, focal, baseline,
+                                  flt_shift=flt_shift, stride=stride)
+        picks[stride] = (float(bu), float(bv))
+
+    # exact full-res coverage of each pick
+    crop_w_from = int(math.floor(0.97 * W))
+    crop_w = crop_w_from / 1.25
+    depth_from = float(dr.min_val)
+    depth_to = depth_from * (crop_w / crop_w_from)
+
+    def exact_cov(su, sv):
+        shift = compute_shift(dr, su, sv, depth_from, depth_to,
+                              W, H, focal)
+        moved = shift_points(pts, shift)
+        return float(render_coverage_fast(moved, H, W, focal,
+                                          baseline))
+
+    cov1 = exact_cov(*picks[1])
+    cov2 = exact_cov(*picks[2])
+    assert cov2 >= 0.995 * cov1, (picks, cov1, cov2)
+
+
+def test_autozoom_stride_requires_grid_cloud(rng):
+    import pytest
+    pts = jnp.asarray(rng.rand(100, 3).astype(np.float32))
+    dr = DepthRange(jnp.float32(300.0), jnp.float32(5.0),
+                    jnp.float32(5.0))
+    with pytest.raises(ValueError, match='grid-ordered'):
+        autozoom(pts, dr, 64, 48, 32.0, 40.0, stride=2)
+
+
 def test_bokeh_blur_full_chain_vs_oracle(rng):
     """Full bokeh_blur (highlight pow → 3 passes → average of the two
     diagonal passes → inverse pow) vs a numpy replication of

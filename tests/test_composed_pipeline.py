@@ -427,11 +427,14 @@ def composed():
     # discfill 'exact' is the oracle-bit-exact ray march; the default
     # 'fast' shear-scan is a documented approximation with its own
     # equivalence tests (tests/test_discfill_fast.py)
+    # autozoom_stride=1: this is the exact-parity twin test — the
+    # stride-2 miniature default has its own quality test
+    # (test_camera_autozoom.py::test_autozoom_miniature_quality)
     cfg = KenBurnsConfig(max_size=W, num_frame=3, depth_est='default',
                          default_depth_refine=True, refine_crf=False,
                          detector='none', point_capacity_factor=3.3,
                          discfill_mode='exact', discfill_max_steps=192,
-                         playback=False)
+                         playback=False, autozoom_stride=1)
     pipe = KenBurnsPipeline(cfg)
     sem_params, sem_stats = C.convert_semantics(tsem.state_dict())
     pipe._disparity_vars = {
