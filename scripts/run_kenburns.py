@@ -32,11 +32,9 @@ def main():
                          '(view with xprof/tensorboard)')
     args = ap.parse_args()
 
-    import cv2
     import numpy as np
     from cartoonsegmentation_tpu.config import build_kenburns_cfg
-    from cartoonsegmentation_tpu.pipeline import (KenBurnsPipeline,
-                                                  write_video)
+    from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
 
     cfg = build_kenburns_cfg(args.cfg)
     if args.no_depth_field:
@@ -44,23 +42,32 @@ def main():
     if args.no_detector:
         cfg = cfg.replace(detector='none')
     pipe = KenBurnsPipeline(cfg)
+    # stage previews cost a full-frame D2H each; only --verbose
+    # (save_stages) consumes them
+    pipe.stage_previews = args.verbose
     pipe.ensure_detector()
 
     os.makedirs(args.save_dir, exist_ok=True)
     name = osp.splitext(osp.basename(args.input_img))[0]
+    out_path = osp.join(args.save_dir, f'{name}.mp4')
 
     from cartoonsegmentation_tpu.utils.profiling import trace
     with trace(args.trace_dir):
+        # the streaming renderer overlaps each chunk's device→host
+        # I420 copy + mp4 encode with the next chunk's render — the
+        # tunnel-bound transfer otherwise serializes after the render
+        # (~20 s at 1024). Same stage sequence as pipe.run().
         state = pipe.generate_state(args.input_img)
         obj_from, obj_to = pipe.autozoom(state)
-        frames = pipe.process_kenburns(state, obj_from, obj_to)
+        state = pipe.inpaint_extremes(state, obj_from, obj_to)
+        steps = np.linspace(0.0, 1.0, cfg.num_frame)
+        with pipe.timer.time('render_stream+encode'):
+            frames = pipe.render_frames_stream(state, obj_from, obj_to,
+                                               steps, out_path)
     if args.verbose:
         pipe.save_stages(args.save_dir, name)
     if args.profile:
         print(pipe.timer.report())
-
-    out_path = osp.join(args.save_dir, f'{name}.mp4')
-    write_video(frames, out_path, playback=cfg.playback)
     print(f'saved {len(frames)} frames -> {out_path}')
 
 

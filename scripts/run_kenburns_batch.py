@@ -21,13 +21,14 @@ def main():
     args = ap.parse_args()
 
     from cartoonsegmentation_tpu.config import build_kenburns_cfg
-    from cartoonsegmentation_tpu.pipeline import (KenBurnsPipeline,
-                                                  write_video)
+    from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
 
     cfg = build_kenburns_cfg(args.cfg)
     if args.no_detector:
         cfg = cfg.replace(detector='none')
     pipe = KenBurnsPipeline(cfg)
+    # batch mode never dumps stage previews; skip their per-stage D2H
+    pipe.stage_previews = False
     pipe.ensure_detector()
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -37,8 +38,9 @@ def main():
     for p in imgs:
         name = osp.splitext(osp.basename(p))[0]
         out = osp.join(args.save_dir, f'{name}.mp4')
-        frames = pipe.run(p)
-        write_video(frames, out, playback=cfg.playback)
+        # run(img, path) takes the streaming route: device→host I420
+        # transfer + mp4 encode overlapped with the next chunk's render
+        frames = pipe.run(p, out)
         print(f'{p} -> {out} ({len(frames)} frames)')
 
 
