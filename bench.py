@@ -77,6 +77,9 @@ def main() -> None:
     assert cfg.detector == 'animeinsseg', \
         'bench must run the instance-guided default'
     pipe = KenBurnsPipeline(cfg)
+    # no consumer of stage previews here — skip their full-frame D2H
+    # (colorized depth x3, inpainted x2, instance overlay per run)
+    pipe.stage_previews = False
     log(f'device: {jax.devices()[0]}; detector={cfg.detector} '
         f'refine={cfg.refine_method} depth={cfg.depth_est} '
         f'max_instances={cfg.max_instances}')

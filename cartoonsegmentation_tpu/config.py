@@ -103,7 +103,11 @@ class KenBurnsConfig:
     ldm_inpaint_options: LDMInpaintOptions = field(default_factory=LDMInpaintOptions)
 
     # --- runtime ---
-    dtype: str = 'float32'                  # compute dtype for nets
+    # depth-net inference dtype: 'auto' = bf16 on an accelerator
+    # (MXU-native; head output returns to f32 before postprocess),
+    # f32 on CPU so torch-twin tests stay bit-exact. 'float32' forces
+    # full precision everywhere.
+    dtype: str = 'auto'
     donate_state: bool = True
 
     def replace(self, **kw) -> 'KenBurnsConfig':

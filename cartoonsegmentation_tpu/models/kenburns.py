@@ -208,29 +208,37 @@ class Inpaint(nn.Module):
     is 0. Whole thing is one jittable graph.
     """
     feats: Tuple[int, ...] = (32, 64, 128, 256)
+    # compute dtype for the conv stack only (context + grid U-net);
+    # geometry (depth→points, splat, normalize stats, de-normalize)
+    # stays f32, heads are cast back to f32. Params are stored f32
+    # either way, so converters/twins are unaffected.
+    dtype: Optional[str] = None
 
     def setup(self):
         f = self.feats
-        self.context0 = conv(64, name='context0')
+        dt = self.dtype
+        self.context0 = conv(64, name='context0', dtype=dt)
         self.context_prelu0 = PReLU(64, name='context_prelu0')
-        self.context1 = conv(64, name='context1')
+        self.context1 = conv(64, name='context1', dtype=dt)
         self.context_prelu1 = PReLU(64, name='context_prelu1')
         self.net_input = Basic('conv-relu-conv', (69, 32, 32),
-                               name='net_input')
+                               name='net_input', dtype=dt)
         self.basics = [
             [Basic('relu-conv-relu-conv', (f[r], f[r], f[r]),
-                   name=f'basic_r{r}c{c}') for c in range(3)]
+                   name=f'basic_r{r}c{c}', dtype=dt) for c in range(3)]
             for r in range(len(f))]
         self.downs = [
-            [Downsample((f[r], f[r + 1], f[r + 1]), name=f'down_c{c}r{r}')
+            [Downsample((f[r], f[r + 1], f[r + 1]),
+                        name=f'down_c{c}r{r}', dtype=dt)
              for r in range(len(f) - 1)] for c in range(2)]
         self.ups = [
-            [Upsample((f[r + 1], f[r], f[r]), name=f'up_c{c}r{r}')
+            [Upsample((f[r + 1], f[r], f[r]), name=f'up_c{c}r{r}',
+                      dtype=dt)
              for r in range(len(f) - 1)] for c in range(2)]
         self.net_image = Basic('conv-relu-conv', (32, 32, 3),
-                               name='net_image')
+                               name='net_image', dtype=dt)
         self.net_disparity = Basic('conv-relu-conv', (32, 32, 1),
-                                   name='net_disparity')
+                                   name='net_disparity', dtype=dt)
 
     def context(self, imgN, dispN):
         """Context feature convs (netContext, :86-92)."""
@@ -284,6 +292,8 @@ class Inpaint(nn.Module):
         render = render * existing
 
         image_raw, disp_raw = self.unet(render, existing)
+        image_raw = image_raw.astype(jnp.float32)
+        disp_raw = disp_raw.astype(jnp.float32)
 
         image = image_raw * (istd + 1e-7) + imean
         disp_out = disp_raw * (dstd + 1e-7) + dmean

@@ -53,7 +53,10 @@ class KenBurnsPipeline:
         enable_compilation_cache()
         from ..models.leres import LeReS
         self._disparity_net = DisparityEstimator()
-        self._inpaint_net = Inpaint()
+        # cfg.dtype='auto': the inpaint conv stack runs bf16 on an
+        # accelerator (geometry + splat + heads stay f32 inside the
+        # module); params are stored f32 so converters are unaffected
+        self._inpaint_net = Inpaint(dtype=self._net_dtype())
         self._refine_net = Refine()
         self._leres_net = LeReS()
         self._disparity_vars = None
@@ -66,10 +69,26 @@ class KenBurnsPipeline:
         # tmp_stage_* dumps, run_kenburns.py:25-39 — its de-facto
         # regression mechanism)
         self.stages: Dict[str, np.ndarray] = {}
+        # stage previews cost a full-frame device→host transfer each
+        # (colorized depth x3, inpainted frame x2, instance overlay) —
+        # the interactive server and --verbose need them, the headline
+        # clip does not; CLIs/bench flip this off unless dumping stages
+        self.stage_previews: bool = True
         # per-stage wall timings (SURVEY §5.1 profiling subsystem);
         # print with `pipe.timer.report()` or run_kenburns --profile
         from ..utils.profiling import StageTimer
         self.timer = StageTimer()
+
+    def _net_dtype(self):
+        """Resolve cfg.dtype for depth-net inference: 'auto' → bf16 on
+        an accelerator (the detector's precedent — MXU-native, ~2x),
+        f32 on CPU so the torch-twin tests stay bit-exact. Returns
+        None for f32 (no cast)."""
+        d = self.cfg.dtype
+        if d == 'auto':
+            return None if jax.default_backend() == 'cpu' \
+                else jnp.bfloat16
+        return None if d in ('float32', 'f32') else jnp.dtype(d)
 
     # -- weights -------------------------------------------------------
     def _vars(self, which: str):
@@ -212,6 +231,7 @@ class KenBurnsPipeline:
         if instances is None and self._detector is not None:
             with self.timer.time('detector'):
                 instances = self._detector.infer(img, cfg.pred_score_thr)
+                jax.block_until_ready(instances.masks)
 
         img = scaledown_maxsize(img, cfg.max_size)
         # fresh image: drop the previous image's stage previews — the
@@ -228,20 +248,27 @@ class KenBurnsPipeline:
 
         image = jnp.asarray(img.astype(np.float32) / 255.0)
 
+        # each stage blocks before its timer closes — dispatch is
+        # async, so without a barrier the whole depth chain would be
+        # billed to whichever later stage first syncs (the preview
+        # device_get used to be that accidental barrier)
         with self.timer.time('depth_estimate'):
             disparity_raw = self._estimate_disparity(image)
+            jax.block_until_ready(disparity_raw)
             self._stage_depth('depth_coarse', disparity_raw)
         with self.timer.time('depth_adjust'):
             disparity_raw = self._adjust_disparity(image, disparity_raw,
                                                    instances)
+            jax.block_until_ready(disparity_raw)
             self._stage_depth('depth_adjusted', disparity_raw)
         # final refinement (kenburns_effect.py:618-622): Refine net or
         # the CPU/TPU-hybrid CRF path, both optional
         with self.timer.time('depth_refine'):
             disparity_raw = self._refine_stage(img, image,
                                                disparity_raw, instances)
+            jax.block_until_ready(disparity_raw)
             self._stage_depth('depth_final', disparity_raw)
-        if self._detector is not None:
+        if self._detector is not None and self.stage_previews:
             self.stages['instances'] = instances.draw(img)
         with self.timer.time('prepare_state'):
             state = self._prepare_state(image, disparity_raw, instances)
@@ -281,6 +308,8 @@ class KenBurnsPipeline:
         return disparity_raw
 
     def _stage_depth(self, name: str, disparity) -> None:
+        if not self.stage_previews:
+            return
         self.stages[name] = np.asarray(
             jax.device_get(colorize_gray_r(disparity[..., 0]))
         ).astype(np.uint8)
@@ -494,7 +523,8 @@ class KenBurnsPipeline:
         # id(net) in the key: the cached fn closes over the net, so a
         # variant/size rebuild (e.g. after load_zoe_checkpoint flips
         # N<->NK) must never reuse a closure over the old module
-        key = ('zoe_nk' if want_nk else 'zoe', H, W, zh, zw,
+        dt = self._net_dtype()
+        key = ('zoe_nk' if want_nk else 'zoe', H, W, zh, zw, dt,
                id(self._zoe_net))
         if key not in self._jit_cache:
             net = self._zoe_net
@@ -504,8 +534,17 @@ class KenBurnsPipeline:
             def fn(variables, img):
                 rgb = jax.image.resize(img[..., ::-1], (zh, zw, 3),
                                        method='linear', antialias=False)
+                if dt is not None:
+                    # cfg.dtype='auto': BEiT-L + bins heads on the MXU
+                    # in bf16; metric depth returns to f32 before the
+                    # disparity conversion. cfg.dtype='float32' opts
+                    # out.
+                    variables = jax.tree_util.tree_map(
+                        lambda a: a.astype(dt)
+                        if a.dtype == jnp.float32 else a, variables)
+                    rgb = rgb.astype(dt)
                 depth = infer_zoe(net, variables, rgb[None])[0]
-                depth = jnp.maximum(depth, 1e-5)
+                depth = jnp.maximum(depth.astype(jnp.float32), 1e-5)
                 disp = (focal * baseline) / (depth + 1e-5)
                 disp = jnp.nan_to_num(disp, nan=0.0, posinf=0.0,
                                       neginf=0.0)
@@ -566,7 +605,8 @@ class KenBurnsPipeline:
         cfg = self.cfg
         H, W = image.shape[:2]
         dh, dw = scaledown_size(H, W, cfg.depth_est_size, divisor=32)
-        key = ('leres', H, W, dh, dw)
+        dt = self._net_dtype()
+        key = ('leres', H, W, dh, dw, dt)
         if key not in self._jit_cache:
             net = self._leres_net
 
@@ -575,7 +615,17 @@ class KenBurnsPipeline:
                 small = jax.image.resize(img, (dh, dw, 3),
                                          method='linear')
                 rgb = small[..., ::-1]  # pipeline images are BGR
+                if dt is not None:
+                    # cfg.dtype='auto': bf16 weights+activations on the
+                    # MXU; the head output returns to f32 BEFORE the
+                    # 16-bit-range postprocess (65535 scaling would
+                    # drown in bf16's 8-bit mantissa)
+                    variables = jax.tree_util.tree_map(
+                        lambda a: a.astype(dt)
+                        if a.dtype == jnp.float32 else a, variables)
+                    rgb = rgb.astype(dt)
                 d = net.apply(variables, rgb[None])[0]
+                d = d.astype(jnp.float32)
                 disp = leres_postprocess(d[..., 0])
                 disp = jax.image.resize(disp, (H, W), method='linear')
                 # zeros → min positive (kenburns_effect.py:577)
@@ -725,8 +775,11 @@ class KenBurnsPipeline:
                                            depth_scale)
         image = out['image']
 
-        self.stages[f'inpainted_{int(jax.device_get(state.cloud.count))}'] = \
-            np.asarray(jnp.clip(out['image'], 0, 1) * 255).astype(np.uint8)
+        if self.stage_previews:
+            self.stages[
+                f'inpainted_{int(jax.device_get(state.cloud.count))}'] = \
+                np.asarray(jnp.clip(out['image'], 0, 1) * 255
+                           ).astype(np.uint8)
 
         if cfg.inpaint_type in ('patchmatch', 'ldm', 'ldm_native'):
             import cv2
