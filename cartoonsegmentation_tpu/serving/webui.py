@@ -92,13 +92,20 @@ passes on export (reference IsInpainting checkbox)"></label>
   <b>from</b>
   <label>cx <input type="number" id="f_cx"></label>
   <label>cy <input type="number" id="f_cy"></label>
-  <label>w <input type="number" id="f_w"></label>
-  <label>h <input type="number" id="f_h"></label>
+  <label>w <input type="number" id="f_w" onchange="ratioSync('f','w')">
+  </label>
+  <label>h <input type="number" id="f_h" onchange="ratioSync('f','h')">
+  </label>
   <b>to</b>
   <label>cx <input type="number" id="t_cx"></label>
   <label>cy <input type="number" id="t_cy"></label>
-  <label>w <input type="number" id="t_w"></label>
-  <label>h <input type="number" id="t_h"></label>
+  <label>w <input type="number" id="t_w" onchange="ratioSync('t','w')">
+  </label>
+  <label>h <input type="number" id="t_h" onchange="ratioSync('t','h')">
+  </label>
+  <label>lock ratio <input type="checkbox" id="kb_lock" checked
+   title="changing a crop width/height adjusts the other to keep the
+image aspect ratio (reference Adjust_Ratio)"></label>
   <button onclick="kbUpdate()">apply</button>
   <button onclick="azPreview()">autozoom preview</button></div>
  <div class="row" id="kb_steps" style="display:none">
@@ -172,7 +179,17 @@ function tab(k){for(const p of ['kb','seg','sty','nfo']){
 function st(m){document.getElementById('status').textContent=m}
 
 // ---------------- Ken Burns tab -------------------------------------
-let stages=[], stageIdx=-1;
+let stages=[], stageIdx=-1, imgAspect=0;
+function ratioSync(p,changed){
+  // the reference's aspect-locked crop sliders (Component_AIS.py:
+  // 1511-1547 Adjust_Ratio): changing width sets height =
+  // round(width/ratio) and vice versa, integer-rounded
+  // (Approximate_To_Integer); the server centralise-clamps on apply
+  if(!document.getElementById('kb_lock').checked||!imgAspect)return;
+  const w=document.getElementById(p+'_w'),
+        h=document.getElementById(p+'_h');
+  if(changed==='w')h.value=Math.round((+w.value)/imgAspect);
+  else w.value=Math.round((+h.value)*imgAspect);}
 async function kbLoad(){
   const f=document.getElementById('kb_file').files[0];
   if(!f){st('choose an image first');return}
@@ -181,6 +198,7 @@ async function kbLoad(){
   const j=await r.json();
   if(j.error){st('error: '+j.error);return}
   st('loaded '+j.width+'x'+j.height);
+  imgAspect=j.height?j.width/j.height:0;
   if(j.objFrom){
     document.getElementById('kb_boxes').style.display='block';
     const ids=[['f',j.objFrom],['t',j.objTo]];
