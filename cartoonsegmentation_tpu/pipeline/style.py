@@ -21,7 +21,7 @@ import numpy as np
 from ..ops.inpaint_fill import inpaint as fill_inpaint
 from ..utils import LOGGER
 from ..serving.sd_webui import (b64_2img, img2b64, run_img2img,
-                                run_sdinpaint)
+                                run_sdinpaint, run_sdinpaint_all)
 
 
 def long_side_to(h: int, w: int, long_side: int):
@@ -53,6 +53,12 @@ class StyleConfig:
     inpaint_full_res: int = 1
     inpaint_full_res_padding: int = 32
     denoising_strength: float = 0.75
+    # Batch Count / Batch Size (reference Web_UI Component_AIS.py:
+    # 366-385 sliders → sd-webui n_iter / batch_size): the FINAL
+    # inpaint of each niter round generates count*size variants; the
+    # chain continues on the first, the rest are saved alongside.
+    batch_count: int = 1
+    batch_size: int = 1
     sd_params: Dict = field(default_factory=dict)
     cache_masks_dir: str = 'workspace/style_cache'
     save_dir: str = 'repaint_output'
@@ -235,19 +241,34 @@ class StyleEditor:
             else:  # one joint inpaint over the union mask
                 fg_jobs = [(','.join(p for p in fg_prompts if p),
                             mask_fg)]
-            for fg_prompt, mask in fg_jobs:
+            n_var = max(1, int(cfg.batch_count)) \
+                * max(1, int(cfg.batch_size))
+            variants: List[np.ndarray] = []
+            for j, (fg_prompt, mask) in enumerate(fg_jobs):
                 prompt = (cfg.style_prompt + ',' +
                           (fg_prompt + ',' if cfg.apply_fg_tagger else '')
                           ).strip(',')
-                out_b64 = run_sdinpaint(img2b64(img_repainted), mask,
-                                        data_inpaint, prompt,
-                                        cfg.global_nprompt, cfg.url,
-                                        cfg.auth)
-                img_repainted = b64_2img(out_b64)[..., :3]
+                data_j = dict(data_inpaint)
+                if n_var > 1 and j == len(fg_jobs) - 1:
+                    # batched variants on the round's final inpaint
+                    data_j['n_iter'] = int(cfg.batch_count)
+                    data_j['batch_size'] = int(cfg.batch_size)
+                outs = run_sdinpaint_all(img2b64(img_repainted), mask,
+                                         data_j, prompt,
+                                         cfg.global_nprompt, cfg.url,
+                                         cfg.auth)
+                img_repainted = b64_2img(outs[0])[..., :3]
+                variants = [b64_2img(o)[..., :3] for o in outs[1:]]
 
             outp = osp.join(cfg.save_dir,
                             f'{imname}_onebyone_niter{it}_output_'
                             f'{seed}.png')
             cv2.imwrite(outp, img_repainted[..., ::-1])
             saved.append(outp)
+            for k, var in enumerate(variants):
+                vp = osp.join(cfg.save_dir,
+                              f'{imname}_onebyone_niter{it}_output_'
+                              f'{seed}_var{k + 1}.png')
+                cv2.imwrite(vp, var[..., ::-1])
+                saved.append(vp)
         return saved

@@ -20,6 +20,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import os.path as osp
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
@@ -462,7 +463,7 @@ class KenBurnsService:
         then each instance through the sd-webui API, return the final
         image. payload: {image: b64 png/jpg, style_prompt, bg_nprompt,
         global_nprompt, url, denoising_strength, long_side, steps,
-        cfg_scale, sampler_name, seed}."""
+        cfg_scale, sampler_name, seed, batch_count, batch_size}."""
         import base64
         import tempfile
 
@@ -470,41 +471,19 @@ class KenBurnsService:
         if self.segmentor is None:
             raise ValueError('no segmentor configured '
                              '(serve(..., segmentor=...))')
-        from ..pipeline.style import StyleConfig, StyleEditor
         raw = base64.b64decode(payload['image'])
         img = cv2.imdecode(np.frombuffer(raw, np.uint8),
                            cv2.IMREAD_COLOR)
         if img is None:
             raise ValueError('could not decode image')
         tmp = tempfile.mkdtemp(prefix='style_web_')
-        cfg = StyleConfig(
-            url=payload.get('url',
-                            'http://127.0.0.1:7860/sdapi/v1/img2img'),
-            style_prompt=payload.get('style_prompt', ''),
-            bg_nprompt=payload.get('bg_nprompt', ''),
-            global_nprompt=payload.get('global_nprompt', ''),
-            long_side=int(payload.get('long_side', 768)),
-            denoising_strength=float(
-                payload.get('denoising_strength', 0.75)),
-            cache_masks_dir=f'{tmp}/cache', save_dir=f'{tmp}/out',
-            sd_params={
-                'steps': int(payload.get('steps', 24)),
-                'cfg_scale': float(payload.get('cfg_scale', 9)),
-                'sampler_name': payload.get('sampler_name', 'Euler a'),
-                'seed': int(payload.get('seed', 0)),
-                'alwayson_scripts': {'controlnet': {'args': [{}]}},
-            })
-        editor = StyleEditor(cfg, detector=self.segmentor,
-                             tagger=getattr(self, 'tagger', None))
+        editor = self._style_editor(payload, tmp)
         try:
             saved = editor.repaint(img, 'web')
             if not saved:
                 return {'image': None, 'outputs': 0,
                         'note': 'no instances detected'}
-            out = cv2.imread(saved[-1])
-            ok, enc = cv2.imencode('.png', out)
-            return {'image': base64.b64encode(enc.tobytes()).decode(),
-                    'outputs': len(saved)}
+            return self._pack_outputs(saved)
         finally:
             # the per-request workdir (mask cache + outputs) would
             # otherwise accumulate until the temp filesystem fills
@@ -526,6 +505,10 @@ class KenBurnsService:
             long_side=int(payload.get('long_side', 768)),
             denoising_strength=float(
                 payload.get('denoising_strength', 0.75)),
+            # Batch Count / Batch Size (reference Component_AIS.py:
+            # 366-385): variants of the round's final inpaint
+            batch_count=int(payload.get('batch_count', 1)),
+            batch_size=int(payload.get('batch_size', 1)),
             cache_masks_dir=f'{tmp}/cache', save_dir=f'{tmp}/out',
             sd_params={
                 'steps': int(payload.get('steps', 24)),
@@ -536,6 +519,31 @@ class KenBurnsService:
             })
         return StyleEditor(cfg, detector=self.segmentor,
                            tagger=getattr(self, 'tagger', None))
+
+    @staticmethod
+    def _pack_outputs(saved) -> Dict:
+        """Response dict from the repaint loop's saved paths: `image`
+        = the final chained output, `variants` = the batched extra
+        generations of the last round (reference Batch Count/Size →
+        the gradio output gallery), `outputs` = total saved."""
+        import base64
+
+        import cv2
+
+        def b64png(path):
+            out = cv2.imread(path)
+            ok, enc = cv2.imencode('.png', out)
+            return base64.b64encode(enc.tobytes()).decode()
+
+        # saved order is [iter0, iter0 vars..., iter1, ...]: the last
+        # round's variants are the entries after the final primary
+        primaries = [p for p in saved if '_var' not in osp.basename(p)]
+        primary = primaries[-1] if primaries else saved[-1]
+        tail_vars = [p for p in saved[saved.index(primary) + 1:]
+                     if '_var' in osp.basename(p)]
+        return {'image': b64png(primary),
+                'variants': [b64png(p) for p in tail_vars],
+                'outputs': len(saved)}
 
     @staticmethod
     def _b64png(img: np.ndarray) -> str:
@@ -597,7 +605,6 @@ class KenBurnsService:
         from prepare, image+bg BGR-encoded PNGs at long_side),
         instances: [{mask: b64, prompt}], bg_prompt, + the same sd
         knobs as /style."""
-        import base64
         import shutil
         import tempfile
         img_bgr = self._unb64(payload['image'])
@@ -615,11 +622,7 @@ class KenBurnsService:
                 prompts, payload.get('bg_prompt', ''), 'web')
             if not saved:
                 return {'image': None, 'outputs': 0}
-            import cv2
-            out = cv2.imread(saved[-1])
-            ok, enc = cv2.imencode('.png', out)
-            return {'image': base64.b64encode(enc.tobytes()).decode(),
-                    'outputs': len(saved)}
+            return self._pack_outputs(saved)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 

@@ -88,11 +88,16 @@ def ldm_inpaint_webui(img: np.ndarray, mask: np.ndarray, resolution: int,
     return out
 
 
-def run_img2img(img_b64: str, data: Dict, prompt: str, nprompt: str,
-                url: str, auth=None, controlnet_input: Optional[str] = None
-                ) -> str:
-    """txt2img/img2img round with optional ControlNet conditioning —
-    returns the output image b64 (run_style.py:25-40 semantics)."""
+def run_img2img_all(img_b64: str, data: Dict, prompt: str, nprompt: str,
+                    url: str, auth=None,
+                    controlnet_input: Optional[str] = None):
+    """img2img round with optional ControlNet conditioning — returns
+    EVERY generated image (b64 list). The webui's Batch Count /
+    Batch Size sliders (reference Web_UI/Component/Component_AIS.py:
+    366-385) map to the payload's n_iter / batch_size; when more than
+    one image is requested the server may prepend a grid composite to
+    `images`, which is trimmed here so callers always get exactly the
+    generated variants."""
     data = dict(data)
     data['init_images'] = [img_b64]
     data['prompt'] = prompt
@@ -108,12 +113,30 @@ def run_img2img(img_b64: str, data: Dict, prompt: str, nprompt: str,
         cn = data['alwayson_scripts']['controlnet']
         cn['args'][0]['input_image'] = (controlnet_input or img_b64)
     resp = submit_request(url, json.dumps(data), auth=auth)
-    return resp.json()['images'][0]
+    imgs = resp.json()['images']
+    n = int(data.get('n_iter', 1)) * int(data.get('batch_size', 1))
+    if n > 1 and len(imgs) == n + 1:
+        imgs = imgs[1:]
+    return imgs
+
+
+def run_img2img(img_b64: str, data: Dict, prompt: str, nprompt: str,
+                url: str, auth=None, controlnet_input: Optional[str] = None
+                ) -> str:
+    """Single-output img2img (run_style.py:25-40 semantics)."""
+    return run_img2img_all(img_b64, data, prompt, nprompt, url, auth,
+                           controlnet_input)[0]
+
+
+def run_sdinpaint_all(img_b64: str, mask: np.ndarray, data: Dict,
+                      prompt: str, nprompt: str, url: str, auth=None):
+    data = dict(data)
+    data['mask'] = img2b64(mask)
+    return run_img2img_all(img_b64, data, prompt, nprompt, url, auth,
+                           controlnet_input=img_b64)
 
 
 def run_sdinpaint(img_b64: str, mask: np.ndarray, data: Dict,
                   prompt: str, nprompt: str, url: str, auth=None) -> str:
-    data = dict(data)
-    data['mask'] = img2b64(mask)
-    return run_img2img(img_b64, data, prompt, nprompt, url, auth,
-                       controlnet_input=img_b64)
+    return run_sdinpaint_all(img_b64, mask, data, prompt, nprompt,
+                             url, auth)[0]

@@ -158,6 +158,14 @@ shift+click the TO center (reference stepping-tab image selection)"
   <label>denoise <input type="number" id="sty_den" step="0.05"
     min="0" max="1" value="0.75"></label>
   <label>steps <input type="number" id="sty_steps" value="24"></label>
+  <label title="sd-webui n_iter: extra variant rounds of the final
+inpaint (reference Batch Count slider)">batch count
+   <input type="number" id="sty_bcount" value="1" min="1" max="16"
+    style="width:3em"></label>
+  <label title="sd-webui batch_size: images per round (reference
+Batch Size slider, max 8)">batch size
+   <input type="number" id="sty_bsize" value="1" min="1" max="8"
+    style="width:3em"></label>
  </div>
  <div id="sty_rows" style="display:none">
   <div class="row"><label>background prompt
@@ -170,6 +178,8 @@ shift+click the TO center (reference stepping-tab image selection)"
    <button onclick="styApply()">Repaint edited</button></div>
  </div>
  <div class="row"><img id="sty_img"></div>
+ <div class="row" id="sty_gallery" style="display:none;white-space:
+  nowrap;overflow-x:auto"></div>
 </div>
 
 <script>
@@ -342,7 +352,25 @@ function sdPayload(){
     global_nprompt:document.getElementById('sty_nprompt').value,
     url:document.getElementById('sty_url').value,
     denoising_strength:+document.getElementById('sty_den').value,
-    steps:+document.getElementById('sty_steps').value};}
+    steps:+document.getElementById('sty_steps').value,
+    batch_count:+document.getElementById('sty_bcount').value||1,
+    batch_size:+document.getElementById('sty_bsize').value||1};}
+function styGallery(j){
+  // batched variants of the final inpaint (reference Batch Count /
+  // Batch Size sliders feeding the gradio output gallery); click a
+  // variant to promote it to the main output image
+  const g=document.getElementById('sty_gallery');
+  g.innerHTML='';
+  const vars=j.variants||[];
+  g.style.display=vars.length?'block':'none';
+  for(const v of vars){
+    const im=document.createElement('img');
+    im.src='data:image/png;base64,'+v;
+    im.style.maxWidth=Math.max(12,96/Math.max(vars.length,1))+'%';
+    im.style.cursor='pointer';
+    im.title='variant — click to select';
+    im.onclick=()=>{document.getElementById('sty_img').src=im.src};
+    g.appendChild(im);}}
 
 // ---------------- Style tab: per-instance editing -------------------
 // prep = server /style_prepare response; each instance row keeps its
@@ -447,7 +475,8 @@ async function styApply(){
   if(!j.image){st('no output');return}
   st('repainted ('+j.outputs+' output[s])');
   document.getElementById('sty_img').src=
-    'data:image/png;base64,'+j.image;}
+    'data:image/png;base64,'+j.image;
+  styGallery(j);}
 async function styRun(){
   const f=document.getElementById('sty_file').files[0];
   if(!f){st('choose an image first');return}
@@ -460,7 +489,8 @@ async function styRun(){
   if(!j.image){st(j.note||'no output');return}
   st('repainted ('+j.outputs+' output[s])');
   document.getElementById('sty_img').src=
-    'data:image/png;base64,'+j.image;}
+    'data:image/png;base64,'+j.image;
+  styGallery(j);}
 // initialize the config controls from the SERVER's live config, so
 // an "apply config" without touching a control never force-resets a
 // non-default knob (e.g. a server started with detector: sam)

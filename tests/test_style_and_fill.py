@@ -49,15 +49,24 @@ class _FakeSD(BaseHTTPRequestHandler):
         n = int(self.headers['Content-Length'])
         payload = json.loads(self.rfile.read(n))
         _FakeSD.calls.append(payload)
-        # echo back a solid image of the requested size
+        # echo back solid images of the requested size; like sd-webui,
+        # n_iter * batch_size generations, with a grid composite
+        # PREPENDED when more than one (the client must trim it)
         from PIL import Image
-        w = payload.get('width', 64)
-        h = payload.get('height', 64)
-        img = Image.new('RGB', (w, h), (10, 200, 30))
-        buf = io.BytesIO()
-        img.save(buf, format='PNG')
-        b64 = base64.b64encode(buf.getvalue()).decode()
-        body = json.dumps({'images': [b64]}).encode()
+
+        def solid(color):
+            img = Image.new('RGB', (payload.get('width', 64),
+                                    payload.get('height', 64)), color)
+            buf = io.BytesIO()
+            img.save(buf, format='PNG')
+            return base64.b64encode(buf.getvalue()).decode()
+
+        count = int(payload.get('n_iter', 1)) \
+            * int(payload.get('batch_size', 1))
+        imgs = [solid((10, 200, 30))] * count
+        if count > 1:
+            imgs = [solid((200, 10, 10))] + imgs  # the grid, red
+        body = json.dumps({'images': imgs}).encode()
         self.send_response(200)
         self.send_header('Content-Type', 'application/json')
         self.send_header('Content-Length', str(len(body)))
@@ -138,6 +147,88 @@ def test_style_editor_full_loop(rng, tmp_path):
     saved2 = editor2.repaint(img, 'testimg')
     srv2.shutdown()
     assert len(saved2) == 1
+
+
+def test_run_img2img_all_batch_grid_trim(rng):
+    """Batch Count/Size → n_iter*batch_size variants; the grid image
+    sd-webui prepends when >1 is trimmed by the client."""
+    from cartoonsegmentation_tpu.serving.sd_webui import (
+        img2b64, run_img2img, run_img2img_all)
+    _FakeSD.calls.clear()
+    srv = _serve()
+    url = f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img'
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    outs = run_img2img_all(img2b64(img),
+                           {'width': 32, 'height': 32, 'n_iter': 2,
+                            'batch_size': 2}, 'p', 'n', url)
+    one = run_img2img(img2b64(img), {'width': 32, 'height': 32},
+                      'p', 'n', url)
+    srv.shutdown()
+    assert len(outs) == 4          # grid trimmed: 2*2 variants remain
+    from cartoonsegmentation_tpu.serving.sd_webui import b64_2img
+    for o in outs:                 # every survivor is a generation
+        assert tuple(b64_2img(o)[0, 0]) == (10, 200, 30)   # not grid
+    assert b64_2img(one).shape[:2] == (32, 32)
+
+
+def test_style_editor_batch_variants(rng, tmp_path):
+    """batch_count/batch_size on the final inpaint: the chain follows
+    the first output, the extra variants are saved as *_var*.png."""
+    from cartoonsegmentation_tpu.pipeline.style import (StyleConfig,
+                                                        StyleEditor)
+    from cartoonsegmentation_tpu.instances import Instances
+
+    class FakeDetector:
+        def infer(self, img, *a, **k):
+            h, w = img.shape[:2]
+            m = np.zeros((h, w), bool)
+            m[h // 4: h // 2, w // 4: w // 2] = True
+            return Instances.from_numpy(
+                m[None], np.array([[w // 4, h // 4, w // 4, h // 4]],
+                                  np.float32), capacity=2)
+
+    _FakeSD.calls.clear()
+    srv = _serve()
+    cfg = StyleConfig(
+        url=f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img',
+        style_prompt='pixar style', long_side=64, niter=1,
+        batch_count=3, batch_size=1,
+        cache_masks_dir=str(tmp_path / 'cache'),
+        save_dir=str(tmp_path / 'out'),
+        sd_params={'steps': 2, 'alwayson_scripts':
+                   {'controlnet': {'args': [{}]}}})
+    editor = StyleEditor(cfg, detector=FakeDetector(),
+                         tagger=lambda img: (['1girl'], []))
+    img = (rng.rand(80, 64, 3) * 255).astype(np.uint8)
+    saved = editor.repaint(img, 'batchimg')
+    srv.shutdown()
+    import os.path as osp
+    assert len(saved) == 3                 # primary + 2 variants
+    assert '_var' not in osp.basename(saved[0])
+    assert saved[1].endswith('_var1.png') and saved[2].endswith(
+        '_var2.png')
+    # the bg img2img stays single; only the final inpaint batches
+    assert 'n_iter' not in _FakeSD.calls[0]
+    assert _FakeSD.calls[1]['n_iter'] == 3
+    assert _FakeSD.calls[1]['batch_size'] == 1
+
+
+def test_pack_outputs_variants(tmp_path):
+    """/style and /style_apply response packing: primary = final
+    chained output, variants = the last round's _var files."""
+    import cv2
+    from cartoonsegmentation_tpu.serving.interface import \
+        KenBurnsService
+    paths = []
+    for name in ('a_niter0_output_0.png', 'a_niter0_output_0_var1.png',
+                 'a_niter1_output_1.png', 'a_niter1_output_1_var1.png',
+                 'a_niter1_output_1_var2.png'):
+        p = str(tmp_path / name)
+        cv2.imwrite(p, np.full((4, 4, 3), 128, np.uint8))
+        paths.append(p)
+    out = KenBurnsService._pack_outputs(paths)
+    assert out['outputs'] == 5
+    assert len(out['variants']) == 2       # only the last round's
 
 
 def test_style_config_from_yaml(tmp_path):
