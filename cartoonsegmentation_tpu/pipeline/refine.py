@@ -23,7 +23,8 @@ class ISNetRefiner:
     """refinenet_isnet: ISNetDIS(in_ch=4: BGR + coarse mask)."""
 
     def __init__(self, refine_size: int = 720, mask_thr: float = 0.3,
-                 chunk: int = 4, seed: int = 0):
+                 chunk: int = 4, seed: int = 0,
+                 dtype: Optional[str] = 'auto'):
         self.refine_size = refine_size
         self.mask_thr = mask_thr
         self.chunk = chunk
@@ -31,6 +32,13 @@ class ISNetRefiner:
         self._variables = None
         self._seed = seed
         self._jit_cache = {}
+        if dtype == 'auto':
+            # accelerator → bf16 compute for the refine forwards (the
+            # output is a thresholded mask; sigmoid + threshold stay
+            # f32). Same convention as pipeline/segment.py:57-64.
+            dtype = None if jax.default_backend() == 'cpu' \
+                else 'bfloat16'
+        self.dtype = dtype
 
     def _vars(self):
         if self._variables is None:
@@ -75,10 +83,16 @@ class ISNetRefiner:
         if key not in self._jit_cache:
             net, thr = self.net, self.mask_thr
             c = min(self.chunk, N)
+            cdt = jnp.bfloat16 if self.dtype == 'bfloat16' \
+                else jnp.float32
 
             @jax.jit
             def fn(variables, image_small, masks, valid, order,
                    n_valid):
+                if cdt != jnp.float32:
+                    variables = jax.tree_util.tree_map(
+                        lambda p: p.astype(cdt)
+                        if p.dtype == jnp.float32 else p, variables)
                 # image_small: (nh, nw, 3) float; pad bottom/right to S
                 img = jnp.pad(image_small,
                               ((0, S - nh), (0, S - nw), (0, 0)))
@@ -93,8 +107,9 @@ class ISNetRefiner:
                                          method='linear')
                     m = jnp.pad(m, ((0, 0), (0, S - nh), (0, S - nw)))
                     batch = jnp.concatenate([imgb, m[..., None]], -1)
-                    sides, _ = net.apply(variables, batch)
-                    preds = jax.nn.sigmoid(sides[0][..., 0])
+                    sides, _ = net.apply(variables, batch.astype(cdt))
+                    preds = jax.nn.sigmoid(
+                        sides[0][..., 0].astype(jnp.float32))
                     preds = preds[:, :nh, :nw, None]
                     preds = resize_bilinear_ac(preds, H, W)[..., 0]
                     newm = (preds > thr) & valid[sel][:, None, None]
