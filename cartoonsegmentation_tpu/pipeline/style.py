@@ -44,6 +44,15 @@ class StyleConfig:
     bg_nprompt: str = ''
     global_nprompt: str = ''
     long_side: int = 768
+    # exact working resolution (w, h) — overrides long_side when set
+    # (reference repaint_person.py:196-197 resizes to -W/-H exactly)
+    exact_size: Optional[tuple] = None
+    # tag instances from a greyscale crop (reference infer_grey,
+    # animeinsseg/__init__.py:237 / repaint_person.py:218 --to-grey)
+    to_grey: bool = False
+    # save every per-instance inpaint step, not just each round's
+    # final output (reference repaint_person.py:217 --save_intermediate)
+    save_intermediate: bool = False
     niter: int = 1
     random_seed: bool = False
     apply_bg_tagger: bool = False
@@ -86,6 +95,24 @@ class StyleEditor:
         self.detector = detector  # AnimeInsSeg-compatible
         self.tagger = tagger      # callable img_bgr → (tags, char_tags)
 
+    def _work_size(self, img_bgr: np.ndarray):
+        """(h, w) the editor works at: exact_size when set (reference
+        -W/-H), otherwise /32-rounded long_side."""
+        if self.cfg.exact_size is not None:
+            w, h = self.cfg.exact_size
+            return int(h), int(w)
+        H, W = img_bgr.shape[:2]
+        return long_side_to(H, W, self.cfg.long_side)
+
+    def _tag(self, crop_bgr: np.ndarray):
+        """Run the tagger, optionally on a greyscale view (reference
+        infer_grey: animeinsseg/__init__.py:237)."""
+        if self.cfg.to_grey:
+            import cv2
+            g = cv2.cvtColor(crop_bgr, cv2.COLOR_BGR2GRAY)
+            crop_bgr = g[..., None][..., [0, 0, 0]]
+        return self.tagger(crop_bgr)
+
     # ------------------------------------------------------------------
     def prepare(self, img_bgr: np.ndarray, imname: str):
         """Detect, tag, background-fill, cache — returns
@@ -95,8 +122,7 @@ class StyleEditor:
         os.makedirs(cfg.cache_masks_dir, exist_ok=True)
         promptp = osp.join(cfg.cache_masks_dir, f'{imname}_prompts.json')
 
-        H, W = img_bgr.shape[:2]
-        h, w = long_side_to(H, W, cfg.long_side)
+        h, w = self._work_size(img_bgr)
         img_resized = cv2.resize(img_bgr, (w, h),
                                  interpolation=cv2.INTER_LANCZOS4)
 
@@ -127,7 +153,7 @@ class StyleEditor:
                 crop = img_bgr[y:y + bh, x:x + bw].copy()
                 mask_crop = masks_np[i][y:y + bh, x:x + bw]
                 crop[~mask_crop] = 255
-                tags, ctags = self.tagger(crop)
+                tags, ctags = self._tag(crop)
                 tags = [t for t in tags if t not in ctags]
                 prompt = ','.join(tags).replace('_', ' ')
             prompts_dict[savename] = prompt
@@ -143,7 +169,7 @@ class StyleEditor:
                              f'{imname}_mask_fg.png'), mask_fg)
         bg_prompt = ''
         if self.tagger is not None:
-            tags, _ = self.tagger(bg_bgr)
+            tags, _ = self._tag(bg_bgr)
             bg_prompt = ','.join(t.replace('_', ' ') for t in tags)
         prompts_dict[f'{imname}_bg_repaint.png'] = bg_prompt
         with open(promptp, 'w') as f:
@@ -183,8 +209,7 @@ class StyleEditor:
             return []
         bg_rgb, mask_fg, masks, fg_prompts, bg_prompt, img_rgb = prep
         if img_rgb is None:
-            H, W = img_bgr.shape[:2]
-            h, w = long_side_to(H, W, cfg.long_side)
+            h, w = self._work_size(img_bgr)
             img_rgb = cv2.resize(img_bgr, (w, h),
                                  interpolation=cv2.INTER_LANCZOS4)[..., ::-1]
         return self.repaint_prepared(img_rgb, bg_rgb, mask_fg, masks,
@@ -259,6 +284,14 @@ class StyleEditor:
                                          cfg.auth)
                 img_repainted = b64_2img(outs[0])[..., :3]
                 variants = [b64_2img(o)[..., :3] for o in outs[1:]]
+                if cfg.save_intermediate and j < len(fg_jobs) - 1:
+                    # per-instance step output (reference
+                    # repaint_person.py:182-184 save_intermediate)
+                    ip = osp.join(cfg.save_dir,
+                                  f'{imname}_onebyone_niter{it}_fg{j}_'
+                                  f'{seed}.png')
+                    cv2.imwrite(ip, img_repainted[..., ::-1])
+                    saved.append(ip)
 
             outp = osp.join(cfg.save_dir,
                             f'{imname}_onebyone_niter{it}_output_'
@@ -272,3 +305,25 @@ class StyleEditor:
                 cv2.imwrite(vp, var[..., ::-1])
                 saved.append(vp)
         return saved
+
+    # ------------------------------------------------------------------
+    def repaint_whole(self, img_bgr: np.ndarray, imname: str) -> List[str]:
+        """Whole-image img2img without any instance masks — the
+        reference's ``--onebyone False`` path (repaint_person.py:81-103:
+        one img2img of the resized image with the style prompt; no
+        detection, no background fill). Returns saved image paths."""
+        import cv2
+        cfg = self.cfg
+        h, w = self._work_size(img_bgr)
+        img_rgb = cv2.resize(img_bgr, (w, h),
+                             interpolation=cv2.INTER_LANCZOS4)[..., ::-1]
+        data = dict(cfg.sd_params)
+        data.setdefault('width', w)
+        data.setdefault('height', h)
+        data.setdefault('seed', 0)
+        out_b64 = run_img2img(img2b64(img_rgb), data, cfg.style_prompt,
+                              cfg.global_nprompt, cfg.url, cfg.auth)
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        outp = osp.join(cfg.save_dir, f'repaint-default-{imname}.png')
+        cv2.imwrite(outp, b64_2img(out_b64)[..., :3][..., ::-1])
+        return [outp]

@@ -1,50 +1,141 @@
 #!/usr/bin/env python
-"""Per-person repaint CLI — the older lineart-anime variant of the
-style editor (parity: reference repaint_person.py). Same engine as
-run_style.py with lineart-oriented defaults (single-instance inpaint
-focus, no background repaint)."""
+"""Per-person repaint CLI — the lineart-anime variant of the style
+editor (parity: reference repaint_person.py:186-219, full flag set).
+Same engine as run_style.py with lineart-oriented defaults: ControlNet
+lineart_anime conditioning, per-instance inpaints, optional plain
+whole-image img2img (``--no-onebyone``, reference onebyone=False)."""
 import argparse
 import os.path as osp
 import sys
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+# reference repaint_person.py:19
+INPAINTING_FILL_METHODS = ['fill', 'original', 'latent_noise',
+                           'latent_nothing']
+
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--img_path', required=True)
-    ap.add_argument('--prompt', default='')
-    ap.add_argument('--nprompt', default='')
+    ap = argparse.ArgumentParser(
+        description='Inpaint instances of people using stable '
+                    'diffusion (reference repaint_person.py)')
+    ap.add_argument('--img_path', required=True,
+                    help='Path to input image.')
+    ap.add_argument('--no-onebyone', dest='onebyone',
+                    action='store_false',
+                    help='plain whole-image img2img instead of '
+                         'per-instance repainting (reference '
+                         '--onebyone False)')
+    ap.add_argument('-p', '--prompt', default='')
+    ap.add_argument('-n', '--negative_prompt', '--nprompt',
+                    dest='nprompt', default='')
+    ap.add_argument('-W', '--width', type=int, default=768,
+                    help='Width of output image.')
+    ap.add_argument('-H', '--height', type=int, default=768,
+                    help='Height of output image.')
+    ap.add_argument('-s', '--steps', type=int, default=24)
+    ap.add_argument('-c', '--cfg_scale', type=int, default=9,
+                    help='Classifier free guidance scale.')
+    ap.add_argument('-S', '--sample_name', default='Euler a',
+                    help='Name of sampler to use.')
+    ap.add_argument('-d', '--denoising_strength', type=float,
+                    default=0.75)
+    ap.add_argument('-f', '--fill', default=INPAINTING_FILL_METHODS[1],
+                    choices=INPAINTING_FILL_METHODS,
+                    help='masked content fill method')
+    ap.add_argument('-b', '--mask_blur', type=int, default=4,
+                    help='Blur radius of Gaussian filter on mask.')
+    ap.add_argument('-r', '--resolution', type=int, default=640,
+                    help='ControlNet processor resolution')
+    ap.add_argument('--save_dir', default='repaint_output')
     ap.add_argument('--url',
                     default='http://127.0.0.1:7860/sdapi/v1/img2img')
-    ap.add_argument('--resolution', type=int, default=640)
-    ap.add_argument('--steps', type=int, default=24)
-    ap.add_argument('--denoising_strength', type=float, default=0.75)
-    ap.add_argument('--save_dir', default='repaint_output')
+    ap.add_argument('--cfg', default='',
+                    help='repaint config path (style yaml; CLI flags '
+                         'given explicitly still win)')
+    ap.add_argument('--bg_nprompt',
+                    default='((person)), character, 1girl, 1boy',
+                    help='background negative prompt')
+    ap.add_argument('--inpaint_full_res', type=int, default=1)
+    ap.add_argument('--inpaint_full_res_padding', type=int, default=32)
     ap.add_argument('--detector_ckpt', default='')
+    ap.add_argument('--save_intermediate', action='store_true',
+                    help='save every per-instance inpaint step')
+    ap.add_argument('--to-grey', dest='to_grey', action='store_true',
+                    help='infer tags from a greyscale view')
+    ap.add_argument('--no-tagger', dest='infer_tagger',
+                    action='store_false',
+                    help='skip per-instance tag inference')
     args = ap.parse_args()
 
     import cv2
     from pathlib import Path
-    from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
-    from cartoonsegmentation_tpu.pipeline.style import (StyleConfig,
-                                                        StyleEditor)
+    from cartoonsegmentation_tpu.pipeline.style import (
+        StyleConfig, StyleEditor, style_config_from_yaml)
 
+    # ControlNet lineart_anime conditioning rides sd_params verbatim
+    # (reference repaint_person.py:44-77 options_shared)
+    sd_params = {
+        'steps': args.steps, 'seed': 0,
+        'cfg_scale': args.cfg_scale,
+        'sampler_name': args.sample_name,
+        'alwayson_scripts': {'controlnet': {'args': [{
+            'module': 'lineart_anime',
+            'model': 'control_v11p_sd15s2_lineart_anime [3825e83e]',
+            'weight': 1,
+            'resize_mode': 'Inner Fit (Scale to Fit)',
+            'lowvram': False,
+            'processor_res': args.resolution,
+            'threshold_a': 64, 'threshold_b': 64,
+            'guidance_start': 0, 'guidance_end': 1,
+            'pixel_perfect': True, 'enabled': True,
+        }]}},
+    }
+
+    cfg = style_config_from_yaml(args.cfg) if args.cfg else StyleConfig()
+    cfg.url = args.url
+    cfg.style_prompt = args.prompt or cfg.style_prompt
+    cfg.global_nprompt = args.nprompt or cfg.global_nprompt
+    cfg.bg_nprompt = args.bg_nprompt
+    cfg.exact_size = (args.width, args.height)
+    cfg.niter = 1
+    cfg.apply_bg_tagger = True      # bg tags join the bg prompt
+    cfg.apply_fg_tagger = args.infer_tagger
+    cfg.denoising_strength = args.denoising_strength
+    cfg.mask_blur = args.mask_blur
+    cfg.inpainting_fill = INPAINTING_FILL_METHODS.index(args.fill)
+    cfg.inpaint_full_res = args.inpaint_full_res
+    cfg.inpaint_full_res_padding = args.inpaint_full_res_padding
+    cfg.save_dir = args.save_dir
+    cfg.save_intermediate = args.save_intermediate
+    cfg.to_grey = args.to_grey
+    cfg.sd_params = {**sd_params, **cfg.sd_params}
+
+    img = cv2.imread(args.img_path)
+    imname = Path(args.img_path).stem
+
+    if not args.onebyone:
+        editor = StyleEditor(cfg)
+        saved = editor.repaint_whole(img, imname)
+        print(f'{args.img_path} -> {saved}')
+        return
+
+    from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
     detector = AnimeInsSeg()
     if args.detector_ckpt:
         detector.load_torch_checkpoint(args.detector_ckpt)
-
-    cfg = StyleConfig(
-        url=args.url, style_prompt=args.prompt,
-        global_nprompt=args.nprompt, long_side=args.resolution,
-        niter=1, apply_bg_tagger=False, apply_fg_tagger=True,
-        denoising_strength=args.denoising_strength,
-        save_dir=args.save_dir,
-        sd_params={'steps': args.steps, 'seed': 0,
-                   'alwayson_scripts': {'controlnet': {'args': [{}]}}})
-    editor = StyleEditor(cfg, detector=detector, tagger=None)
-    img = cv2.imread(args.img_path)
-    saved = editor.repaint(img, Path(args.img_path).stem)
+    tagger = None
+    if args.infer_tagger:
+        try:
+            detector.init_tagger()
+            tagger = detector.tagger.label_cv2_bgr
+        except RuntimeError as e:
+            # strict tagger refuses to fabricate tags without a
+            # checkpoint; repaint still works, prompts just stay empty
+            print(f'tagger unavailable ({e}); continuing untagged',
+                  file=sys.stderr)
+    editor = StyleEditor(cfg, detector=detector, tagger=tagger)
+    saved = editor.repaint(img, imname)
     print(f'{args.img_path} -> {saved}')
 
 

@@ -18,15 +18,39 @@ def main():
                          'given explicitly')
     ap.add_argument('--style-prompt', default='')
     ap.add_argument('--bg_nprompt', default='')
-    ap.add_argument('--global-nprompt', default='')
+    ap.add_argument('-n', '--global-nprompt', default='')
     ap.add_argument('--url',
                     default='http://127.0.0.1:7860/sdapi/v1/img2img')
     ap.add_argument('--long_side', type=int, default=768)
+    ap.add_argument('-W', '--width', type=int, default=0,
+                    help='exact working width (with -H overrides the '
+                         'aspect-kept --long_side sizing)')
+    ap.add_argument('-H', '--height', type=int, default=0)
     ap.add_argument('--niter', type=int, default=1)
-    ap.add_argument('--steps', type=int, default=24)
-    ap.add_argument('--cfg_scale', type=int, default=9)
-    ap.add_argument('--sample_name', default='Euler a')
-    ap.add_argument('--denoising_strength', type=float, default=0.75)
+    ap.add_argument('-s', '--steps', type=int, default=24)
+    ap.add_argument('-c', '--cfg_scale', type=int, default=9)
+    ap.add_argument('-S', '--sample_name', default='Euler a')
+    ap.add_argument('-d', '--denoising_strength', type=float,
+                    default=0.75)
+    ap.add_argument('-f', '--fill', default='original',
+                    choices=['fill', 'original', 'latent_noise',
+                             'latent_nothing'],
+                    help='masked content fill method')
+    ap.add_argument('-b', '--mask_blur', type=int, default=4)
+    ap.add_argument('--inpaint_full_res', type=int, default=1)
+    ap.add_argument('--inpaint_full_res_padding', type=int, default=32)
+    ap.add_argument('--no-onebyone', dest='onebyone',
+                    action='store_false',
+                    help='one joint inpaint over the union mask '
+                         'instead of per-instance passes')
+    ap.add_argument('--save_intermediate', action='store_true')
+    ap.add_argument('--to-grey', dest='to_grey', action='store_true',
+                    help='infer tags from a greyscale view')
+    ap.add_argument('--apply-bg-tagger', action='store_true',
+                    help='append background tags to the bg prompt')
+    ap.add_argument('--no-fg-tagger', dest='apply_fg_tagger',
+                    action='store_false',
+                    help='skip per-instance tags in fg prompts')
     ap.add_argument('--save_dir', default='repaint_output')
     ap.add_argument('--cache_masks_dir', default='workspace/style_cache')
     ap.add_argument('--detector_ckpt', default='')
@@ -74,19 +98,55 @@ def main():
         sd.setdefault('alwayson_scripts',
                       {'controlnet': {'args': [{}]}})
         cfg = dataclasses.replace(cfg, sd_params=sd)
+        # inverted/short flags the `given` scan can't map onto field
+        # names: apply only when explicitly present on the cmdline
+        argv = set(sys.argv[1:])
+        if '--no-onebyone' in argv:
+            cfg.onebyone = False
+        if '--no-fg-tagger' in argv:
+            cfg.apply_fg_tagger = False
+        for flags, name, val in (
+                (('-f', '--fill'), 'inpainting_fill',
+                 ['fill', 'original', 'latent_noise',
+                  'latent_nothing'].index(args.fill)),
+                (('-b', '--mask_blur'), 'mask_blur', args.mask_blur),
+                (('-d', '--denoising_strength'), 'denoising_strength',
+                 args.denoising_strength),
+                (('--inpaint_full_res',), 'inpaint_full_res',
+                 args.inpaint_full_res),
+                (('--inpaint_full_res_padding',),
+                 'inpaint_full_res_padding',
+                 args.inpaint_full_res_padding)):
+            if argv & set(flags):
+                setattr(cfg, name, val)
     else:
         cfg = StyleConfig(
             url=args.url, style_prompt=args.style_prompt,
             bg_nprompt=args.bg_nprompt,
             global_nprompt=args.global_nprompt,
             long_side=args.long_side, niter=args.niter,
+            onebyone=args.onebyone,
             random_seed=args.random_seed,
             denoising_strength=args.denoising_strength,
+            mask_blur=args.mask_blur,
+            inpainting_fill=['fill', 'original', 'latent_noise',
+                             'latent_nothing'].index(args.fill),
+            inpaint_full_res=args.inpaint_full_res,
+            inpaint_full_res_padding=args.inpaint_full_res_padding,
+            apply_fg_tagger=args.apply_fg_tagger,
             cache_masks_dir=args.cache_masks_dir,
             save_dir=args.save_dir,
             sd_params={'steps': args.steps, 'cfg_scale': args.cfg_scale,
                        'sampler_name': args.sample_name, 'seed': 0,
                        'alwayson_scripts': {'controlnet': {'args': [{}]}}})
+    if args.width > 0 and args.height > 0:
+        cfg.exact_size = (args.width, args.height)
+    if args.save_intermediate:
+        cfg.save_intermediate = True
+    if args.to_grey:
+        cfg.to_grey = True
+    if args.apply_bg_tagger:
+        cfg.apply_bg_tagger = True
     tagger = None
     if args.tagger_ckpt or args.allow_stub_tagger:
         from cartoonsegmentation_tpu.models.tagger import Tagger

@@ -286,3 +286,149 @@ def test_style_editor_joint_mask_mode(rng, tmp_path):
     assert len(saved) == 1
     # bg repaint + ONE joint fg inpaint (not one per instance)
     assert len(_FakeSD.calls) == 2
+
+
+def test_repaint_whole_image(rng, tmp_path):
+    """repaint_whole: one plain img2img at exact_size, no detection —
+    the reference --onebyone False path (repaint_person.py:81-103)."""
+    from cartoonsegmentation_tpu.pipeline.style import (StyleConfig,
+                                                        StyleEditor)
+    _FakeSD.calls.clear()
+    srv = _serve()
+    cfg = StyleConfig(
+        url=f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img',
+        style_prompt='lineart', exact_size=(96, 64),
+        save_dir=str(tmp_path / 'out'),
+        sd_params={'steps': 2, 'alwayson_scripts':
+                   {'controlnet': {'args': [{}]}}})
+    editor = StyleEditor(cfg)           # no detector, no tagger
+    img = (rng.rand(80, 70, 3) * 255).astype(np.uint8)
+    saved = editor.repaint_whole(img, 'whole')
+    srv.shutdown()
+    assert len(saved) == 1
+    assert saved[0].endswith('repaint-default-whole.png')
+    assert len(_FakeSD.calls) == 1      # exactly one img2img
+    call = _FakeSD.calls[0]
+    # exact_size wins over aspect-kept long_side rounding
+    assert call['width'] == 96 and call['height'] == 64
+    assert call['prompt'] == 'lineart'
+    import cv2
+    out = cv2.imread(saved[0])
+    assert out.shape[:2] == (64, 96)
+
+
+def test_style_to_grey_tagging(rng, tmp_path):
+    """to_grey: the tagger sees a 3-channel GREYSCALE crop (reference
+    infer_grey, animeinsseg/__init__.py:237)."""
+    from cartoonsegmentation_tpu.pipeline.style import (StyleConfig,
+                                                        StyleEditor)
+    from cartoonsegmentation_tpu.instances import Instances
+
+    class FakeDetector:
+        def infer(self, img, *a, **k):
+            h, w = img.shape[:2]
+            m = np.zeros((h, w), bool)
+            m[h // 4: h // 2, w // 4: w // 2] = True
+            return Instances.from_numpy(
+                m[None], np.array([[w // 4, h // 4, w // 4, h // 4]],
+                                  np.float32), capacity=2)
+
+    seen = []
+
+    def tagger(crop):
+        seen.append(crop.copy())
+        return (['1girl'], [])
+
+    _FakeSD.calls.clear()
+    srv = _serve()
+    cfg = StyleConfig(
+        url=f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img',
+        style_prompt='s', long_side=64, to_grey=True,
+        cache_masks_dir=str(tmp_path / 'cache'),
+        save_dir=str(tmp_path / 'out'),
+        sd_params={'steps': 2, 'alwayson_scripts':
+                   {'controlnet': {'args': [{}]}}})
+    editor = StyleEditor(cfg, detector=FakeDetector(), tagger=tagger)
+    img = (rng.rand(80, 64, 3) * 255).astype(np.uint8)
+    editor.repaint(img, 'greyimg')
+    srv.shutdown()
+    assert seen, 'tagger never called'
+    for crop in seen:   # instance crop AND background tag call
+        assert crop.ndim == 3 and crop.shape[-1] == 3
+        np.testing.assert_array_equal(crop[..., 0], crop[..., 1])
+        np.testing.assert_array_equal(crop[..., 1], crop[..., 2])
+
+
+def test_style_save_intermediate(rng, tmp_path):
+    """save_intermediate: every per-instance step lands on disk, not
+    just the round's final output (reference repaint_person.py
+    --save_intermediate)."""
+    from cartoonsegmentation_tpu.pipeline.style import (StyleConfig,
+                                                        StyleEditor)
+    from cartoonsegmentation_tpu.instances import Instances
+
+    class FakeDetector:
+        def infer(self, img, *a, **k):
+            h, w = img.shape[:2]
+            m1 = np.zeros((h, w), bool); m1[4:12, 4:12] = True
+            m2 = np.zeros((h, w), bool); m2[20:30, 20:30] = True
+            boxes = np.array([[4, 4, 8, 8], [20, 20, 10, 10]],
+                             np.float32)
+            return Instances.from_numpy(np.stack([m1, m2]), boxes,
+                                        capacity=4)
+
+    _FakeSD.calls.clear()
+    srv = _serve()
+    cfg = StyleConfig(
+        url=f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img',
+        style_prompt='s', long_side=64, save_intermediate=True,
+        cache_masks_dir=str(tmp_path / 'cache'),
+        save_dir=str(tmp_path / 'out'),
+        sd_params={'steps': 2, 'alwayson_scripts':
+                   {'controlnet': {'args': [{}]}}})
+    editor = StyleEditor(cfg, detector=FakeDetector(),
+                         tagger=lambda img: (['1girl'], []))
+    img = (rng.rand(80, 64, 3) * 255).astype(np.uint8)
+    saved = editor.repaint(img, 'interimg')
+    srv.shutdown()
+    # fg0 intermediate + final output
+    assert len(saved) == 2
+    assert '_fg0_' in saved[0]
+    assert '_output_' in saved[1]
+
+
+def test_repaint_person_cli_whole_image(rng, tmp_path, monkeypatch):
+    """The repaint_person CLI's --no-onebyone path end to end against
+    the fake server, with the reference's full flag set parsed."""
+    import importlib.util
+    import os.path as osp
+    spec = importlib.util.spec_from_file_location(
+        'repaint_person_cli',
+        osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                 'scripts', 'repaint_person.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import cv2
+    imgp = str(tmp_path / 'in.png')
+    cv2.imwrite(imgp, (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+    _FakeSD.calls.clear()
+    srv = _serve()
+    monkeypatch.setattr('sys.argv', [
+        'repaint_person.py', '--img_path', imgp, '--no-onebyone',
+        '-p', 'lineart girl', '-n', 'bad hands', '-W', '64', '-H', '64',
+        '-s', '3', '-c', '7', '-S', 'DDIM', '-f', 'fill', '-b', '2',
+        '--save_dir', str(tmp_path / 'out'), '--to-grey',
+        '--url', f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img',
+    ])
+    mod.main()
+    srv.shutdown()
+    assert len(_FakeSD.calls) == 1
+    call = _FakeSD.calls[0]
+    assert call['prompt'] == 'lineart girl'
+    assert call['negative_prompt'] == 'bad hands'
+    assert call['steps'] == 3 and call['cfg_scale'] == 7
+    assert call['sampler_name'] == 'DDIM'
+    cn = call['alwayson_scripts']['controlnet']['args'][0]
+    assert cn['module'] == 'lineart_anime' and cn['processor_res'] == 640
+    assert (tmp_path / 'out' / 'repaint-default-in.png').exists()
