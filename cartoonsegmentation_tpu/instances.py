@@ -157,9 +157,12 @@ class Instances:
     # ------------------------------------------------------------------
     def draw(self, img: np.ndarray, draw_bbox: bool = True,
              draw_ins_mask: bool = True, tags: Optional[List[str]] = None,
-             mask_alpha: float = 0.75) -> np.ndarray:
+             mask_alpha: float = 0.75,
+             draw_contour: bool = False) -> np.ndarray:
         """Host-side visualization (numpy/cv2). Parity:
-        anime_instances.py:131-194 (draw_instances)."""
+        anime_instances.py:131-194 (draw_instances; the reference
+        accepts draw_ins_contour but never renders it — here the
+        contour option actually draws the mask outlines)."""
         import cv2
         masks = np.asarray(jax.device_get(self.masks))
         bboxes = np.asarray(jax.device_get(self.bboxes))
@@ -187,6 +190,14 @@ class Instances:
                 a = (mask_alpha * masks[i].astype(np.float32))[..., None]
                 drawed = drawed * (1 - a) + a * color
             drawed = drawed.astype(np.uint8)
+        if draw_contour:
+            lw = max(round(sum(drawed.shape) / 2 * 0.002), 2)
+            for i in idxs:
+                cs, _ = cv2.findContours(
+                    masks[i].astype(np.uint8), cv2.RETR_EXTERNAL,
+                    cv2.CHAIN_APPROX_SIMPLE)
+                cv2.drawContours(drawed, cs, -1, get_color(i),
+                                 thickness=lw, lineType=cv2.LINE_AA)
         if tags:
             lw = max(round(sum(drawed.shape) / 2 * 0.002), 2)
             for i in idxs:

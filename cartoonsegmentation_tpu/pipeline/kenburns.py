@@ -677,6 +677,19 @@ class KenBurnsPipeline:
             'crop_w': int(math.floor(cfg.crop_ratio * W)),
             'crop_h': int(math.floor(cfg.crop_ratio * H)),
         }
+        if not cfg.auto_zoom:
+            # no content-aware search: a plain centered Ken Burns
+            # zoom-in by autozoom_zoom (the flag exists but is dead
+            # in the reference, kenburns_effect.py:233 — here it
+            # actually skips the coverage search)
+            return obj_from, {
+                'center_u': obj_from['center_u'],
+                'center_v': obj_from['center_v'],
+                'crop_w': int(round(obj_from['crop_w']
+                                    / cfg.autozoom_zoom)),
+                'crop_h': int(round(obj_from['crop_h']
+                                    / cfg.autozoom_zoom)),
+            }
         # block inside the timer so it reads true device time
         # (StageTimer sections elsewhere end with a device_get for
         # the same reason)

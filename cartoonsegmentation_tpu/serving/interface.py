@@ -253,15 +253,25 @@ class KenBurnsService:
                    'dof_num_samples', 'depthest_use_medium',
                    'marigold_steps', 'marigold_ensemble',
                    'marigold_scheduler', 'ldm_inpaint_size',
-                   'detector', 'depth_factor')
+                   'detector', 'depth_factor', 'auto_zoom')
 
     def set_config(self, payload: Dict) -> Dict:
         """Rebuild the pipeline with updated config knobs, carrying
         over any loaded weights; drops the cached image state."""
         from ..pipeline import KenBurnsPipeline
         kw = {k: payload[k] for k in self.CONFIG_KEYS if k in payload}
+        changed_live = []
+        if 'stage_previews' in payload:
+            # the Setting tab's Verbose knob (reference
+            # Component_AIS.py:2738-2775): toggles whether pipeline
+            # stages keep full-frame preview copies for the stepping
+            # tab — a pipeline attribute, no rebuild needed
+            want = bool(payload['stage_previews'])
+            if want != self.pipe.stage_previews:
+                self.pipe.stage_previews = want
+                changed_live.append('stage_previews')
         if not kw:
-            return {'ok': True, 'changed': []}
+            return {'ok': True, 'changed': changed_live}
         marigold_changed = any(k.startswith('marigold_') for k in kw)
         with self.lock:
             old = self.pipe
@@ -308,7 +318,7 @@ class KenBurnsService:
             self.state = self.pristine_state = None
             self.obj_from = self.obj_to = None
             self.frame_cache.clear()
-        return {'ok': True, 'changed': sorted(kw)}
+        return {'ok': True, 'changed': sorted(kw) + changed_live}
 
     def update_box(self, which: str, box: Dict) -> None:
         with self.lock:
@@ -447,7 +457,8 @@ class KenBurnsService:
             draw_bbox=bool(opts.get('draw_bbox', True)),
             draw_ins_mask=bool(opts.get('draw_mask', True)),
             tags=tags_by_slot,
-            mask_alpha=float(opts.get('mask_alpha', 0.75)))
+            mask_alpha=float(opts.get('mask_alpha', 0.75)),
+            draw_contour=bool(opts.get('draw_contour', False)))
         ok, enc = cv2.imencode('.jpg', overlay)
         resp = {'instances': out,
                 'overlay': base64.b64encode(enc.tobytes()).decode()}
@@ -682,7 +693,8 @@ def make_handler(service: KenBurnsService):
                     # the raw image): ?draw_bbox=0&draw_tags=1&...
                     q = parse_qs(parsed.query)
                     opts = {}
-                    for k in ('draw_bbox', 'draw_mask', 'draw_tags'):
+                    for k in ('draw_bbox', 'draw_mask', 'draw_tags',
+                              'draw_contour'):
                         if k in q:
                             opts[k] = q[k][0] not in ('0', 'false', '')
                     if 'mask_alpha' in q:
@@ -766,11 +778,13 @@ def make_handler(service: KenBurnsService):
                                'image/jpeg')
                 elif parsed.path == '/health':
                     cfg = service.pipe.cfg
+                    conf = {k: getattr(cfg, k)
+                            for k in service.CONFIG_KEYS}
+                    conf['stage_previews'] = \
+                        service.pipe.stage_previews
                     self._json({'ok': True,
                                 'loaded': service.state is not None,
-                                'config': {k: getattr(cfg, k)
-                                           for k in
-                                           service.CONFIG_KEYS}})
+                                'config': conf})
                 else:
                     self._json({'error': 'not found'}, 404)
             except Exception as e:  # noqa: BLE001

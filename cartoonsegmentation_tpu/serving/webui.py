@@ -72,6 +72,12 @@ PAGE_HTML = """<!doctype html>
    <option>animeinsseg</option><option>sam</option>
    <option>maskrcnn</option><option>none</option></select></label>
   <label>DoF <input type="checkbox" id="cfg_dof" checked></label>
+  <label title="content-aware camera-shift search; off = plain
+centered zoom (reference Auto Zoom checkbox)">auto&nbsp;zoom
+   <input type="checkbox" id="cfg_az" checked></label>
+  <label title="keep per-stage preview frames for the stepping tab
+(reference Setting tab's Verbose)">verbose
+   <input type="checkbox" id="cfg_verbose" checked></label>
   <label>frames <input type="number" id="cfg_frames" value="75"
    min="2" max="300" style="width:4em"></label>
   <label>depth&nbsp;factor <input type="number" id="cfg_dfac"
@@ -131,6 +137,9 @@ shift+click the TO center (reference stepping-tab image selection)"
   <button onclick="segRun()">Detect</button>
   <label>bbox <input type="checkbox" id="seg_bbox" checked></label>
   <label>mask <input type="checkbox" id="seg_mask" checked></label>
+  <label>contour <input type="checkbox" id="seg_contour"
+   title="draw mask outlines (the reference's Instance Contour
+checkbox is a no-op upstream; here it draws)"></label>
   <label>tags <input type="checkbox" id="seg_tags"></label>
   <label>alpha <input type="range" id="seg_alpha" min="0" max="1"
    step="0.05" value="0.75" style="width:6em"></label></div>
@@ -287,6 +296,8 @@ async function cfgApply(){
     inpaint_type:document.getElementById('cfg_inpaint').value,
     detector:document.getElementById('cfg_det').value,
     depth_field:document.getElementById('cfg_dof').checked,
+    auto_zoom:document.getElementById('cfg_az').checked,
+    stage_previews:document.getElementById('cfg_verbose').checked,
     num_frame:+document.getElementById('cfg_frames').value||75,
     depth_factor:+document.getElementById('cfg_dfac').value||1};
   const r=await fetch('/config',{method:'POST',
@@ -335,6 +346,7 @@ async function segRun(){
   // draw options box (reference Component_AIS.py:1881-1916)
   const qp='?draw_bbox='+(+document.getElementById('seg_bbox').checked)
     +'&draw_mask='+(+document.getElementById('seg_mask').checked)
+    +'&draw_contour='+(+document.getElementById('seg_contour').checked)
     +'&draw_tags='+(+document.getElementById('seg_tags').checked)
     +'&mask_alpha='+document.getElementById('seg_alpha').value;
   const r=await fetch('/segment'+qp,{method:'POST',body:f});
@@ -502,6 +514,10 @@ async function styRun(){
     if(c[k]!==undefined)document.getElementById(id).value=c[k];
   if(c.depth_field!==undefined)
     document.getElementById('cfg_dof').checked=c.depth_field;
+  if(c.auto_zoom!==undefined)
+    document.getElementById('cfg_az').checked=c.auto_zoom;
+  if(c.stage_previews!==undefined)
+    document.getElementById('cfg_verbose').checked=c.stage_previews;
   if(c.num_frame!==undefined)
     document.getElementById('cfg_frames').value=c.num_frame;
   if(c.depth_factor!==undefined)

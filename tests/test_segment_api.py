@@ -121,3 +121,31 @@ def test_tagger_strict_by_default():
         Tagger(backend='auto')
     with pytest.raises(RuntimeError, match='strict'):
         Tagger('/nonexistent/model.ckpt', backend='flax')
+
+
+def test_draw_contour_outlines(rng):
+    """draw(draw_contour=True) outlines the mask boundary: pixels ON
+    the boundary change, pixels well inside the mask do not (unlike
+    the alpha-blended mask fill). The reference accepts
+    draw_ins_contour but never renders it (anime_instances.py:135);
+    here the option draws."""
+    import numpy as np
+    from cartoonsegmentation_tpu.instances import Instances
+
+    h, w = 64, 64
+    m = np.zeros((h, w), bool)
+    m[16:48, 16:48] = True
+    ins = Instances.from_numpy(
+        m[None], np.array([[16, 16, 32, 32]], np.float32), capacity=2)
+    img = np.full((h, w, 3), 128, np.uint8)
+    out = ins.draw(img, draw_bbox=False, draw_ins_mask=False,
+                   draw_contour=True)
+    assert out.shape == img.shape
+    # boundary marked...
+    assert np.abs(out[16, 16:48].astype(int) - 128).sum() > 0
+    # ...interior untouched (a mask FILL would have tinted it)
+    np.testing.assert_array_equal(out[30:34, 30:34],
+                                  img[30:34, 30:34])
+    # default stays reference-compatible: no contour
+    out2 = ins.draw(img, draw_bbox=False, draw_ins_mask=False)
+    np.testing.assert_array_equal(out2, img)

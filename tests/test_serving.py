@@ -103,9 +103,24 @@ def test_webui_page_and_segment(rng):
         assert plain is not None
         if out2['instances']:
             assert 'note' in out2   # tagger unavailable in tests
+        # contour-only mode: outlines drawn, nothing else — the
+        # overlay must differ from the plain (undrawn) one exactly
+        # when instances were detected
+        r = requests.post(
+            f'{base}/segment?draw_bbox=0&draw_mask=0&draw_contour=1',
+            data=enc.tobytes())
+        assert r.status_code == 200
+        contoured = cv2.imdecode(np.frombuffer(
+            base64.b64decode(r.json()['overlay']), np.uint8),
+            cv2.IMREAD_COLOR)
+        if out2['instances']:
+            assert np.abs(contoured.astype(int)
+                          - plain.astype(int)).sum() > 0
+
         # the page exposes the option controls
         page = requests.get(f'{base}/').text
-        for needle in ('seg_bbox', 'seg_tags', 'seg_alpha'):
+        for needle in ('seg_bbox', 'seg_tags', 'seg_alpha',
+                       'seg_contour', 'cfg_az', 'cfg_verbose'):
             assert needle in page
 
         # garbage upload → clean error json
@@ -551,6 +566,27 @@ def test_config_route_switches_pipeline(rng):
         assert 'detector' in r.json()['changed']
         assert svc.pipe.cfg.detector == 'maskrcnn'
         assert svc.pipe._detector is not sentinel
+
+        # stage_previews (the Setting tab's Verbose): a LIVE pipeline
+        # attribute toggle — no rebuild, reflected in /health
+        before = svc.pipe
+        r = requests.post(f'{base}/config',
+                          data=json.dumps({'stage_previews': False}))
+        assert r.json()['changed'] == ['stage_previews']
+        assert svc.pipe is before            # same pipeline object
+        assert svc.pipe.stage_previews is False
+        h = requests.get(f'{base}/health').json()
+        assert h['config']['stage_previews'] is False
+
+        # auto_zoom off through /config: next load uses the plain
+        # centered-zoom path (objTo center == objFrom center)
+        requests.post(f'{base}/config',
+                      data=json.dumps({'auto_zoom': False}))
+        r = requests.post(f'{base}/load_image', data=enc.tobytes())
+        j = r.json()
+        assert j['objTo']['center_u'] == j['objFrom']['center_u']
+        assert j['objTo']['center_v'] == j['objFrom']['center_v']
+        assert j['objTo']['crop_w'] < j['objFrom']['crop_w']
     finally:
         srv.shutdown()
 
