@@ -104,6 +104,17 @@ class StyleEditor:
         H, W = img_bgr.shape[:2]
         return long_side_to(H, W, self.cfg.long_side)
 
+    def _grey3(self, img: np.ndarray) -> np.ndarray:
+        """3-channel greyscale of a working image when cfg.to_grey —
+        the reference greys the ENTIRE image before any processing
+        (repaint_person.py:46-47), so the greyed pixels feed the bg
+        fill, composites, and every SD request, not just the tagger."""
+        if not self.cfg.to_grey:
+            return img
+        import cv2
+        g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        return np.repeat(g[..., None], 3, axis=-1)
+
     def _tag(self, crop_bgr: np.ndarray):
         """Run the tagger, optionally on a greyscale view (reference
         infer_grey: animeinsseg/__init__.py:237)."""
@@ -123,8 +134,8 @@ class StyleEditor:
         promptp = osp.join(cfg.cache_masks_dir, f'{imname}_prompts.json')
 
         h, w = self._work_size(img_bgr)
-        img_resized = cv2.resize(img_bgr, (w, h),
-                                 interpolation=cv2.INTER_LANCZOS4)
+        img_resized = self._grey3(cv2.resize(
+            img_bgr, (w, h), interpolation=cv2.INTER_LANCZOS4))
 
         if osp.exists(promptp):
             return self._load_cache(promptp, imname)
@@ -210,8 +221,9 @@ class StyleEditor:
         bg_rgb, mask_fg, masks, fg_prompts, bg_prompt, img_rgb = prep
         if img_rgb is None:
             h, w = self._work_size(img_bgr)
-            img_rgb = cv2.resize(img_bgr, (w, h),
-                                 interpolation=cv2.INTER_LANCZOS4)[..., ::-1]
+            img_rgb = self._grey3(cv2.resize(
+                img_bgr, (w, h),
+                interpolation=cv2.INTER_LANCZOS4))[..., ::-1]
         return self.repaint_prepared(img_rgb, bg_rgb, mask_fg, masks,
                                      fg_prompts, bg_prompt, imname)
 
@@ -315,12 +327,17 @@ class StyleEditor:
         import cv2
         cfg = self.cfg
         h, w = self._work_size(img_bgr)
-        img_rgb = cv2.resize(img_bgr, (w, h),
-                             interpolation=cv2.INTER_LANCZOS4)[..., ::-1]
+        img_rgb = self._grey3(cv2.resize(
+            img_bgr, (w, h),
+            interpolation=cv2.INTER_LANCZOS4))[..., ::-1]
         data = dict(cfg.sd_params)
         data.setdefault('width', w)
         data.setdefault('height', h)
         data.setdefault('seed', 0)
+        # the reference whole-image path sends denoising_strength in
+        # options_shared (repaint_person.py:55) — without this the -d
+        # flag is silently ignored in --no-onebyone mode
+        data.setdefault('denoising_strength', cfg.denoising_strength)
         out_b64 = run_img2img(img2b64(img_rgb), data, cfg.style_prompt,
                               cfg.global_nprompt, cfg.url, cfg.auth)
         os.makedirs(cfg.save_dir, exist_ok=True)

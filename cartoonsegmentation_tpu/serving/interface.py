@@ -20,6 +20,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import os
 import os.path as osp
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -276,6 +277,13 @@ class KenBurnsService:
         with self.lock:
             old = self.pipe
             new = KenBurnsPipeline(old.cfg.replace(**kw))
+            # stage_previews is a pipeline ATTRIBUTE, not a cfg key: a
+            # fresh pipeline resets it to its default, so a payload
+            # combining the Verbose knob with any rebuild key (the
+            # webui cfgApply always sends both) would silently lose
+            # the toggle. `old` already carries the applied value —
+            # the live branch above ran first — so copy it across.
+            new.stage_previews = old.stage_previews
             # carry loaded weights + heavyweight sub-models across;
             # _marigold bakes its sampler knobs at construction, so
             # when a marigold_* key changes it must be REBUILT from
@@ -637,6 +645,83 @@ class KenBurnsService:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    DEFAULT_SD_URL = 'http://127.0.0.1:7860/sdapi/v1/img2img'
+
+    def style_options(self, url: str = '') -> Dict:
+        """Enumerate the sd-webui server's samplers and checkpoints
+        for the style tab's dropdowns (reference sources:
+        Web_UI/Common/Utility_Sampler.py:1-31 / Utility_Model.py:1-79,
+        consumed by Component_Style_Editing.py:979-1009). Degrades
+        gracefully: hardcoded sampler fallback + empty model list when
+        the server is unreachable, `live` says which happened."""
+        from .sd_webui import (current_sd_model, list_samplers,
+                               list_sd_models)
+        url = url or self.DEFAULT_SD_URL
+        models = list_sd_models(url)
+        return {'samplers': list_samplers(url),
+                'models': models,
+                'current_model': current_sd_model(url),
+                'live': bool(models)}
+
+    def style_model(self, payload: Dict) -> Dict:
+        """Switch the sd-webui server's active checkpoint (what
+        choosing from the reference's model dropdown amounts to)."""
+        from .sd_webui import set_sd_model
+        title = payload.get('model', '')
+        if not title:
+            raise ValueError('payload needs {"model": <title>}')
+        ok = set_sd_model(payload.get('url') or self.DEFAULT_SD_URL,
+                          title)
+        return {'ok': ok, 'model': title}
+
+    def style_batch(self, payload: Dict) -> Dict:
+        """Batch-directory style processing from the UI (reference
+        capability: run_style.py iterates find_all_imgs over a
+        directory; the Web UI exposes it here). payload: {dir,
+        save_dir?, whole_image?, + the same sd knobs as /style}.
+        Returns per-image saved paths (on the server's filesystem —
+        batch outputs stay on disk rather than ballooning the
+        response with dozens of b64 images)."""
+        import tempfile
+
+        import cv2
+        d = payload.get('dir', '')
+        if not osp.isdir(d):
+            raise ValueError(f'not a directory: {d}')
+        exts = ('.jpg', '.jpeg', '.png', '.webp', '.bmp')
+        paths = [osp.join(d, f) for f in sorted(os.listdir(d))
+                 if f.lower().endswith(exts)]
+        if not paths:
+            raise ValueError(f'no images found in {d}')
+        whole = bool(payload.get('whole_image', False))
+        if not whole and self.segmentor is None:
+            raise ValueError('no segmentor configured '
+                             '(serve(..., segmentor=...)); use '
+                             'whole_image mode instead')
+        tmp = tempfile.mkdtemp(prefix='style_batch_')
+        editor = self._style_editor(payload, tmp)
+        editor.cfg.save_dir = payload.get(
+            'save_dir', osp.join(d, 'repaint_output'))
+        results = []
+        for p in paths:
+            img = cv2.imread(p)
+            if img is None:
+                results.append({'path': p, 'error': 'unreadable'})
+                continue
+            name = osp.splitext(osp.basename(p))[0]
+            try:
+                saved = (editor.repaint_whole(img, name) if whole
+                         else editor.repaint(img, name))
+                results.append({'path': p, 'saved': saved})
+            except Exception as e:  # noqa: BLE001 — per-image seam:
+                # one bad image must not kill the whole batch
+                results.append({'path': p, 'error': str(e)})
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {'count': len(paths),
+                'save_dir': editor.cfg.save_dir,
+                'results': results}
+
     def result_video(self, inpaint: bool = True) -> bytes:
         """Full render with inpainting → mp4 bytes. `inpaint=False`
         skips the disocclusion inpaint passes on export — the
@@ -712,6 +797,12 @@ def make_handler(service: KenBurnsService):
                 elif path == '/style_apply':
                     self._json(service.style_apply(
                         json.loads(body or b'{}')))
+                elif path == '/style_model':
+                    self._json(service.style_model(
+                        json.loads(body or b'{}')))
+                elif path == '/style_batch':
+                    self._json(service.style_batch(
+                        json.loads(body or b'{}')))
                 elif path == '/step_inpaint':
                     self._json(service.step_inpaint())
                 elif path == '/update_mode':
@@ -776,6 +867,9 @@ def make_handler(service: KenBurnsService):
                 elif parsed.path == '/autozoom_preview':
                     self._send(200, service.autozoom_preview(),
                                'image/jpeg')
+                elif parsed.path == '/style_options':
+                    self._json(service.style_options(
+                        q.get('url', [''])[0]))
                 elif parsed.path == '/health':
                     cfg = service.pipe.cfg
                     conf = {k: getattr(cfg, k)

@@ -93,31 +93,96 @@ def main():
     }
 
     cfg = style_config_from_yaml(args.cfg) if args.cfg else StyleConfig()
-    cfg.url = args.url
-    cfg.style_prompt = args.prompt or cfg.style_prompt
-    cfg.global_nprompt = args.nprompt or cfg.global_nprompt
-    cfg.bg_nprompt = args.bg_nprompt
-    cfg.exact_size = (args.width, args.height)
-    cfg.niter = 1
-    cfg.apply_bg_tagger = True      # bg tags join the bg prompt
-    cfg.apply_fg_tagger = args.infer_tagger
-    cfg.denoising_strength = args.denoising_strength
-    cfg.mask_blur = args.mask_blur
-    cfg.inpainting_fill = INPAINTING_FILL_METHODS.index(args.fill)
-    cfg.inpaint_full_res = args.inpaint_full_res
-    cfg.inpaint_full_res_padding = args.inpaint_full_res_padding
-    cfg.save_dir = args.save_dir
-    cfg.save_intermediate = args.save_intermediate
-    cfg.to_grey = args.to_grey
-    cfg.sd_params = {**sd_params, **cfg.sd_params}
+    if args.cfg:
+        # yaml wins over CLI DEFAULTS (reference OmegaConf merge_with,
+        # repaint_person.py:222-224); only flags explicitly present on
+        # the command line override it — mirroring run_style.py's
+        # argv-presence scan so `--cfg x.yaml` doesn't silently reset
+        # yaml fields like denoising_strength or save_dir to defaults
+        argv = set(sys.argv[1:])
+        long_names = {a.lstrip('-').split('=')[0] for a in argv
+                      if a.startswith('--')}
 
-    img = cv2.imread(args.img_path)
-    imname = Path(args.img_path).stem
+        def given(*flags):
+            return bool(argv & set(flags)
+                        or long_names & {f.lstrip('-').replace('-', '_')
+                                         for f in flags
+                                         if f.startswith('--')})
+        if given('--url'):
+            cfg.url = args.url
+        if given('-p', '--prompt'):
+            cfg.style_prompt = args.prompt
+        if given('-n', '--negative_prompt', '--nprompt'):
+            cfg.global_nprompt = args.nprompt
+        if given('--bg_nprompt'):
+            cfg.bg_nprompt = args.bg_nprompt
+        if given('-W', '--width') or given('-H', '--height') \
+                or cfg.exact_size is None:
+            cfg.exact_size = (args.width, args.height)
+        if given('-d', '--denoising_strength'):
+            cfg.denoising_strength = args.denoising_strength
+        if given('-b', '--mask_blur'):
+            cfg.mask_blur = args.mask_blur
+        if given('-f', '--fill'):
+            cfg.inpainting_fill = INPAINTING_FILL_METHODS.index(args.fill)
+        if given('--inpaint_full_res'):
+            cfg.inpaint_full_res = args.inpaint_full_res
+        if given('--inpaint_full_res_padding'):
+            cfg.inpaint_full_res_padding = args.inpaint_full_res_padding
+        if given('--save_dir'):
+            cfg.save_dir = args.save_dir
+        if args.save_intermediate:
+            cfg.save_intermediate = True
+        if args.to_grey:
+            cfg.to_grey = True
+        if not args.infer_tagger:
+            cfg.apply_fg_tagger = False
+        # CLI-assembled ControlNet block fills in what the yaml left
+        # unset; yaml sd_params keys win (reference merge direction)
+        cfg.sd_params = {**sd_params, **cfg.sd_params}
+    else:
+        cfg.url = args.url
+        cfg.style_prompt = args.prompt
+        cfg.global_nprompt = args.nprompt
+        cfg.bg_nprompt = args.bg_nprompt
+        cfg.exact_size = (args.width, args.height)
+        cfg.niter = 1
+        cfg.apply_fg_tagger = args.infer_tagger
+        cfg.denoising_strength = args.denoising_strength
+        cfg.mask_blur = args.mask_blur
+        cfg.inpainting_fill = INPAINTING_FILL_METHODS.index(args.fill)
+        cfg.inpaint_full_res = args.inpaint_full_res
+        cfg.inpaint_full_res_padding = args.inpaint_full_res_padding
+        cfg.save_dir = args.save_dir
+        cfg.save_intermediate = args.save_intermediate
+        cfg.to_grey = args.to_grey
+        cfg.sd_params = {**sd_params, **cfg.sd_params}
+    cfg.apply_bg_tagger = True      # bg tags join the bg prompt
+
+    # directory input (reference uses find_all_imgs); fail fast on an
+    # unreadable path instead of crashing later inside cv2.resize
+    import os
+    if osp.isdir(args.img_path):
+        paths = [osp.join(args.img_path, f)
+                 for f in sorted(os.listdir(args.img_path))
+                 if f.lower().endswith(('.jpg', '.jpeg', '.png',
+                                        '.webp', '.bmp'))]
+        if not paths:
+            sys.exit(f'no images found in directory {args.img_path}')
+    else:
+        paths = [args.img_path]
+
+    def read_or_die(p):
+        img = cv2.imread(p)
+        if img is None:
+            sys.exit(f'cannot read image: {p}')
+        return img
 
     if not args.onebyone:
         editor = StyleEditor(cfg)
-        saved = editor.repaint_whole(img, imname)
-        print(f'{args.img_path} -> {saved}')
+        for p in paths:
+            saved = editor.repaint_whole(read_or_die(p), Path(p).stem)
+            print(f'{p} -> {saved}')
         return
 
     from cartoonsegmentation_tpu.pipeline import AnimeInsSeg
@@ -135,8 +200,9 @@ def main():
             print(f'tagger unavailable ({e}); continuing untagged',
                   file=sys.stderr)
     editor = StyleEditor(cfg, detector=detector, tagger=tagger)
-    saved = editor.repaint(img, imname)
-    print(f'{args.img_path} -> {saved}')
+    for p in paths:
+        saved = editor.repaint(read_or_die(p), Path(p).stem)
+        print(f'{p} -> {saved}')
 
 
 if __name__ == '__main__':

@@ -489,6 +489,90 @@ def test_style_prepare_apply(rng):
         sd.shutdown()
 
 
+def test_style_options_model_and_batch(rng, tmp_path):
+    """The style tab's sd-webui enumeration (models + samplers into
+    dropdowns, reference Web_UI/Common/Utility_Model.py:1-79 /
+    Utility_Sampler.py:1-31), model switching, and batch-directory
+    processing (reference run_style.py directory input) — VERDICT r4
+    item 6, against the fake sd server."""
+    from test_style_and_fill import _FakeSD, _serve
+
+    _FakeSD.calls.clear()
+    _FakeSD.options = {'sd_model_checkpoint': 'anything-v5 [abc123]'}
+    sd = _serve()
+    sd_url = f'http://127.0.0.1:{sd.server_port}/sdapi/v1/img2img'
+    cfg = KenBurnsConfig(max_size=48, num_frame=3, depth_field=False,
+                         playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    srv = serve(pipe, '127.0.0.1', 0, block=False)
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        # the page exposes the dropdowns + batch controls
+        page = requests.get(f'{base}/').text
+        for needle in ('sty_model', 'sty_sampler', 'styOptions',
+                       'styModel', 'sty_bdir', 'styBatch'):
+            assert needle in page
+
+        # live enumeration against the fake server
+        r = requests.get(f'{base}/style_options?url={sd_url}')
+        j = r.json()
+        assert j['live'] is True
+        assert j['samplers'] == ['Euler a', 'DPM++ 2M Karras', 'DDIM']
+        assert j['models'] == ['anything-v5 [abc123]',
+                               'counterfeit-v3 [def456]']
+        assert j['current_model'] == 'anything-v5 [abc123]'
+
+        # model switch round-trips into the sd server's options
+        r = requests.post(f'{base}/style_model', data=json.dumps(
+            {'url': sd_url, 'model': 'counterfeit-v3 [def456]'}))
+        assert r.json()['ok'] is True
+        assert _FakeSD.options['sd_model_checkpoint'] == \
+            'counterfeit-v3 [def456]'
+
+        # unreachable server → graceful fallback, not a 500
+        r = requests.get(f'{base}/style_options?url='
+                         'http://127.0.0.1:1/sdapi/v1/img2img')
+        j = r.json()
+        assert j['live'] is False and j['models'] == []
+        from cartoonsegmentation_tpu.serving.sd_webui import \
+            SAMPLER_FALLBACK
+        assert j['samplers'] == SAMPLER_FALLBACK
+
+        # batch-directory processing (whole-image mode: no detector
+        # needed) — one img2img per image, outputs in save_dir
+        d = tmp_path / 'batch'
+        d.mkdir()
+        for name in ('x.png', 'y.jpg'):
+            cv2.imwrite(str(d / name),
+                        (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+        (d / 'notes.txt').write_text('skip me')
+        r = requests.post(f'{base}/style_batch', data=json.dumps(
+            {'dir': str(d), 'whole_image': True, 'url': sd_url,
+             'style_prompt': 'pixar', 'steps': 2,
+             'save_dir': str(tmp_path / 'out')}))
+        j = r.json()
+        assert r.status_code == 200, j
+        assert j['count'] == 2
+        assert all('saved' in x for x in j['results'])
+        assert (tmp_path / 'out' / 'repaint-default-x.png').exists()
+        assert (tmp_path / 'out' / 'repaint-default-y.png').exists()
+        assert len(_FakeSD.calls) == 2
+
+        # error paths: bad dir → clean error; per-instance mode
+        # without a segmentor → clear message
+        r = requests.post(f'{base}/style_batch', data=json.dumps(
+            {'dir': str(tmp_path / 'nope')}))
+        assert r.status_code == 500
+        assert 'not a directory' in r.json()['error']
+        r = requests.post(f'{base}/style_batch', data=json.dumps(
+            {'dir': str(d), 'url': sd_url}))
+        assert r.status_code == 500
+        assert 'no segmentor' in r.json()['error']
+    finally:
+        srv.shutdown()
+        sd.shutdown()
+
+
 def test_config_marigold_rebuild():
     """Changing a marigold_* knob through set_config must rebuild the
     estimator from the new cfg while transferring loaded weights
@@ -577,6 +661,20 @@ def test_config_route_switches_pipeline(rng):
         assert svc.pipe.stage_previews is False
         h = requests.get(f'{base}/health').json()
         assert h['config']['stage_previews'] is False
+
+        # COMBINED payload: stage_previews together with a rebuild key
+        # (exactly what the webui cfgApply sends) — the rebuilt
+        # pipeline must keep the toggle, not reset it to the default
+        # (ADVICE r4 medium finding)
+        r = requests.post(f'{base}/config', data=json.dumps(
+            {'stage_previews': False, 'num_frame': 4}))
+        assert 'num_frame' in r.json()['changed']
+        assert svc.pipe is not before        # rebuilt
+        assert svc.pipe.stage_previews is False
+        # and flipping it back ON alongside a rebuild key works too
+        r = requests.post(f'{base}/config', data=json.dumps(
+            {'stage_previews': True, 'num_frame': 5}))
+        assert svc.pipe.stage_previews is True
 
         # auto_zoom off through /config: next load uses the plain
         # centered-zoom path (objTo center == objFrom center)

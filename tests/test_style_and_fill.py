@@ -44,10 +44,40 @@ def test_inpaint_uint8_api(rng):
 
 class _FakeSD(BaseHTTPRequestHandler):
     calls = []
+    options = {'sd_model_checkpoint': 'anything-v5 [abc123]'}
+
+    def _json(self, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(200)
+        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        # the sd-webui enumeration API the style dropdowns consume
+        if self.path.endswith('/sdapi/v1/samplers'):
+            self._json([{'name': n} for n in
+                        ('Euler a', 'DPM++ 2M Karras', 'DDIM')])
+        elif self.path.endswith('/sdapi/v1/sd-models'):
+            self._json([
+                {'title': 'anything-v5 [abc123]',
+                 'model_name': 'anything-v5'},
+                {'title': 'counterfeit-v3 [def456]',
+                 'model_name': 'counterfeit-v3'}])
+        elif self.path.endswith('/sdapi/v1/options'):
+            self._json(_FakeSD.options)
+        else:
+            self.send_response(404)
+            self.end_headers()
 
     def do_POST(self):
         n = int(self.headers['Content-Length'])
         payload = json.loads(self.rfile.read(n))
+        if self.path.endswith('/sdapi/v1/options'):
+            _FakeSD.options.update(payload)
+            self._json({})
+            return
         _FakeSD.calls.append(payload)
         # echo back solid images of the requested size; like sd-webui,
         # n_iter * batch_size generations, with a grid composite
@@ -418,6 +448,7 @@ def test_repaint_person_cli_whole_image(rng, tmp_path, monkeypatch):
         'repaint_person.py', '--img_path', imgp, '--no-onebyone',
         '-p', 'lineart girl', '-n', 'bad hands', '-W', '64', '-H', '64',
         '-s', '3', '-c', '7', '-S', 'DDIM', '-f', 'fill', '-b', '2',
+        '-d', '0.6',
         '--save_dir', str(tmp_path / 'out'), '--to-grey',
         '--url', f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img',
     ])
@@ -429,6 +460,96 @@ def test_repaint_person_cli_whole_image(rng, tmp_path, monkeypatch):
     assert call['negative_prompt'] == 'bad hands'
     assert call['steps'] == 3 and call['cfg_scale'] == 7
     assert call['sampler_name'] == 'DDIM'
+    # -d reaches the whole-image payload (reference options_shared,
+    # repaint_person.py:55; ADVICE r4)
+    assert call['denoising_strength'] == 0.6
     cn = call['alwayson_scripts']['controlnet']['args'][0]
     assert cn['module'] == 'lineart_anime' and cn['processor_res'] == 640
     assert (tmp_path / 'out' / 'repaint-default-in.png').exists()
+    # --to-grey greys the ENTIRE init image in whole-image mode
+    # (reference repaint_person.py:46-47), not just tagger crops
+    import base64, io
+    from PIL import Image
+    init = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(call['init_images'][0]))))[..., :3]
+    np.testing.assert_array_equal(init[..., 0], init[..., 1])
+    np.testing.assert_array_equal(init[..., 1], init[..., 2])
+
+
+def test_repaint_person_cli_yaml_wins(rng, tmp_path, monkeypatch):
+    """--cfg yaml fields stand unless the flag is explicitly on the
+    command line (reference OmegaConf merge_with semantics; ADVICE r4:
+    CLI DEFAULTS must not overwrite yaml values)."""
+    import importlib.util
+    import os.path as osp
+    spec = importlib.util.spec_from_file_location(
+        'repaint_person_cli2',
+        osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                 'scripts', 'repaint_person.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import cv2
+    imgp = str(tmp_path / 'in.png')
+    cv2.imwrite(imgp, (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+    yamlp = tmp_path / 'style.yaml'
+    yamlp.write_text(
+        'style_prompt: from yaml\n'
+        'denoising_strength: 0.33\n'
+        f'save_dir: {tmp_path / "yamlout"}\n'
+        'mask_blur: 9\n'
+        'sd_params:\n  steps: 5\n')
+    _FakeSD.calls.clear()
+    srv = _serve()
+    monkeypatch.setattr('sys.argv', [
+        'repaint_person.py', '--img_path', imgp, '--no-onebyone',
+        '--cfg', str(yamlp), '-W', '64', '-H', '64',
+        '-b', '2',  # explicit → wins over yaml's 9
+        '--url', f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img',
+    ])
+    mod.main()
+    srv.shutdown()
+    call = _FakeSD.calls[0]
+    # yaml values survive despite the CLI having defaults for them
+    assert call['prompt'] == 'from yaml'
+    assert call['denoising_strength'] == 0.33
+    assert call['steps'] == 5
+    assert (tmp_path / 'yamlout' / 'repaint-default-in.png').exists()
+
+
+def test_repaint_person_cli_directory_and_bad_path(rng, tmp_path,
+                                                   monkeypatch):
+    """Directory input iterates every image (reference find_all_imgs);
+    an unreadable path fails fast with a clear message (ADVICE r4)."""
+    import importlib.util
+    import os.path as osp
+    import pytest
+    spec = importlib.util.spec_from_file_location(
+        'repaint_person_cli3',
+        osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                 'scripts', 'repaint_person.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import cv2
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    for name in ('a.png', 'b.jpg'):
+        cv2.imwrite(str(d / name),
+                    (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+    _FakeSD.calls.clear()
+    srv = _serve()
+    base = ['repaint_person.py', '--no-onebyone', '-W', '64',
+            '-H', '64', '--save_dir', str(tmp_path / 'out'), '--url',
+            f'http://127.0.0.1:{srv.server_port}/sdapi/v1/img2img']
+    monkeypatch.setattr('sys.argv', base + ['--img_path', str(d)])
+    mod.main()
+    assert len(_FakeSD.calls) == 2      # one img2img per image
+    assert (tmp_path / 'out' / 'repaint-default-a.png').exists()
+    assert (tmp_path / 'out' / 'repaint-default-b.png').exists()
+
+    monkeypatch.setattr('sys.argv',
+                        base + ['--img_path', str(tmp_path / 'nope.png')])
+    with pytest.raises(SystemExit, match='cannot read image'):
+        mod.main()
+    srv.shutdown()
