@@ -49,6 +49,85 @@ def submit_request(url: str, data: str, auth: Optional[Tuple[str, str]]
     raise RuntimeError(f'sd-webui unreachable at {url}: {last}')
 
 
+# the reference style tab's hardcoded sampler choices
+# (Web_UI/Component/Component_Style_Editing.py:2196-2218) — served as
+# the fallback when the sd-webui server cannot be reached
+SAMPLER_FALLBACK = [
+    'Euler a', 'Euler', 'LMS', 'Heun', 'DPM2', 'DPM2 a',
+    'DPM++ 2S a', 'DPM++ 2M', 'DPM++ SDE', 'DPM fast', 'DPM adaptive',
+    'LMS Karras', 'DPM2 Karras', 'DPM2 a Karras',
+    'DPM++ 2S a Karras', 'DPM++ 2M Karras', 'DPM++ SDE Karras',
+    'DDIM',
+]
+
+
+def api_base(url: str) -> str:
+    """Server base from any sd-webui endpoint URL (the style configs
+    store the full img2img route, e.g. .../sdapi/v1/img2img)."""
+    i = url.find('/sdapi/')
+    return url[:i] if i >= 0 else url.rstrip('/')
+
+
+def _get_json(url: str, auth=None, timeout: float = 10.0):
+    import requests
+    resp = requests.get(url, auth=auth, timeout=timeout)
+    resp.raise_for_status()
+    return resp.json()
+
+
+def list_samplers(url: str, auth=None):
+    """Sampler names from GET /sdapi/v1/samplers (the live-server
+    upgrade of the reference's hardcoded List_Sampler dropdown,
+    Web_UI/Component/Component_Style_Editing.py:980-986, 2196-2218);
+    falls back to that hardcoded list when the server is down."""
+    try:
+        out = _get_json(f'{api_base(url)}/sdapi/v1/samplers', auth)
+        names = [s['name'] for s in out if s.get('name')]
+        return names or SAMPLER_FALLBACK
+    except Exception as e:  # noqa: BLE001 — network seam
+        LOGGER.debug(f'sampler enumeration unavailable: {e}')
+        return list(SAMPLER_FALLBACK)
+
+
+def list_sd_models(url: str, auth=None):
+    """Checkpoint titles from GET /sdapi/v1/sd-models (reference
+    dropdown source: Web_UI/Common/Utility_Model.py:1-79 scans a model
+    directory; against a live server the API enumeration is
+    authoritative). Empty list when unreachable."""
+    try:
+        out = _get_json(f'{api_base(url)}/sdapi/v1/sd-models', auth)
+        return [m['title'] for m in out if m.get('title')]
+    except Exception as e:  # noqa: BLE001 — network seam
+        LOGGER.debug(f'model enumeration unavailable: {e}')
+        return []
+
+
+def current_sd_model(url: str, auth=None) -> Optional[str]:
+    """Active checkpoint title from GET /sdapi/v1/options."""
+    try:
+        out = _get_json(f'{api_base(url)}/sdapi/v1/options', auth)
+        return out.get('sd_model_checkpoint')
+    except Exception:  # noqa: BLE001 — network seam
+        return None
+
+
+def set_sd_model(url: str, title: str, auth=None) -> bool:
+    """Switch the server's active checkpoint via POST
+    /sdapi/v1/options {sd_model_checkpoint} (what selecting a model in
+    the reference's dropdown amounts to). Returns success."""
+    import requests
+    try:
+        resp = requests.post(f'{api_base(url)}/sdapi/v1/options',
+                             data=json.dumps(
+                                 {'sd_model_checkpoint': title}),
+                             auth=auth, timeout=600)
+        resp.raise_for_status()
+        return True
+    except Exception as e:  # noqa: BLE001 — network seam
+        LOGGER.warning(f'sd model switch failed: {e}')
+        return False
+
+
 def ldm_inpaint_webui(img: np.ndarray, mask: np.ndarray, resolution: int,
                       url: str, prompt: str = '', neg_prompt: str = '',
                       **options) -> np.ndarray:

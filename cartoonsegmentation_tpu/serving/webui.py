@@ -163,7 +163,16 @@ checkbox is a no-op upstream; here it draws)"></label>
   <label>negative <input id="sty_nprompt" size="24"></label></div>
  <div class="row">
   <label>sd-webui url <input id="sty_url" size="40"
-    value="http://127.0.0.1:7860/sdapi/v1/img2img"></label>
+    value="http://127.0.0.1:7860/sdapi/v1/img2img"
+    onchange="styOptions()"></label>
+  <button onclick="styOptions()" title="re-enumerate the server's
+models and samplers (reference Utility_Model / Utility_Sampler
+dropdown sources)">refresh</button>
+  <label>model <select id="sty_model" onchange="styModel()">
+    <option value="">(server default)</option></select></label>
+  <label>sampler <select id="sty_sampler"></select></label>
+ </div>
+ <div class="row">
   <label>denoise <input type="number" id="sty_den" step="0.05"
     min="0" max="1" value="0.75"></label>
   <label>steps <input type="number" id="sty_steps" value="24"></label>
@@ -186,6 +195,13 @@ Batch Size slider, max 8)">batch size
    <label>erase <input type="checkbox" id="sty_erase"></label>
    <button onclick="styApply()">Repaint edited</button></div>
  </div>
+ <div class="row">
+  <label title="server-side directory of images to style-process in
+one go (reference run_style.py directory input, surfaced in the UI)">
+   batch dir <input id="sty_bdir" size="30"></label>
+  <label>whole-image <input type="checkbox" id="sty_bwhole"></label>
+  <button onclick="styBatch()">Run batch</button>
+  <span id="sty_bstat"></span></div>
  <div class="row"><img id="sty_img"></div>
  <div class="row" id="sty_gallery" style="display:none;white-space:
   nowrap;overflow-x:auto"></div>
@@ -365,8 +381,56 @@ function sdPayload(){
     url:document.getElementById('sty_url').value,
     denoising_strength:+document.getElementById('sty_den').value,
     steps:+document.getElementById('sty_steps').value,
+    sampler_name:document.getElementById('sty_sampler').value
+      ||'Euler a',
     batch_count:+document.getElementById('sty_bcount').value||1,
     batch_size:+document.getElementById('sty_bsize').value||1};}
+// sd-webui model/sampler enumeration into the dropdowns (reference
+// Web_UI/Common/Utility_Model.py:1-79 + Utility_Sampler.py:1-31,
+// upgraded from directory scan / hardcoded list to the live API)
+async function styOptions(){
+  const url=encodeURIComponent(document.getElementById('sty_url').value);
+  const j=await (await fetch('/style_options?url='+url)).json();
+  const sel=document.getElementById('sty_sampler');
+  const keep=sel.value;
+  sel.innerHTML='';
+  for(const s of j.samplers||[]){
+    const o=document.createElement('option');
+    o.value=o.textContent=s; sel.appendChild(o);}
+  sel.value=(j.samplers||[]).includes(keep)?keep:'Euler a';
+  const ms=document.getElementById('sty_model');
+  ms.innerHTML='<option value="">(server default)</option>';
+  for(const m of j.models||[]){
+    const o=document.createElement('option');
+    o.value=o.textContent=m; ms.appendChild(o);}
+  if(j.current_model&&(j.models||[]).includes(j.current_model))
+    ms.value=j.current_model;
+  st(j.live?'sd-webui options loaded':'sd-webui offline — '+
+     'fallback sampler list');}
+async function styModel(){
+  const m=document.getElementById('sty_model').value;
+  if(!m)return;
+  st('switching sd model (may take a while)...');
+  const r=await fetch('/style_model',{method:'POST',
+    body:JSON.stringify({model:m,
+      url:document.getElementById('sty_url').value})});
+  const j=await r.json();
+  st(j.ok?('sd model: '+m):'model switch failed');}
+async function styBatch(){
+  const d=document.getElementById('sty_bdir').value;
+  if(!d){st('enter a server-side directory path');return}
+  st('batch processing '+d+'...');
+  const payload=Object.assign({dir:d,
+    whole_image:document.getElementById('sty_bwhole').checked},
+    sdPayload());
+  const r=await fetch('/style_batch',{method:'POST',
+    body:JSON.stringify(payload)});
+  const j=await r.json();
+  if(j.error){st('error: '+j.error);return}
+  const ok=j.results.filter(x=>x.saved).length;
+  document.getElementById('sty_bstat').textContent=
+    ok+'/'+j.count+' images -> '+j.save_dir;
+  st('batch done: '+ok+'/'+j.count);}
 function styGallery(j){
   // batched variants of the final inpaint (reference Batch Count /
   // Batch Size sliders feeding the gradio output gallery); click a
@@ -522,6 +586,7 @@ async function styRun(){
     document.getElementById('cfg_frames').value=c.num_frame;
   if(c.depth_factor!==undefined)
     document.getElementById('cfg_dfac').value=c.depth_factor;
-}catch(e){}})();
+}catch(e){}
+  try{await styOptions();}catch(e){}})();
 </script></body></html>
 """

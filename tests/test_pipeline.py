@@ -90,6 +90,12 @@ def test_kenburns_run_video_path(rng, tmp_path):
     # inpaint+render stages were actually timed
     assert pipe.timer.seconds.get('inpaint_passes', 0) > 0
     assert pipe.timer.seconds.get('render_stream+encode', 0) > 0
+    # the streaming route attributes its {render, transfer, encode}
+    # phases (VERDICT r4 item 1); the threaded encoder must have
+    # actually encoded (encode time accrues in the worker thread)
+    for k in ('stream_render', 'stream_transfer', 'stream_encode'):
+        assert k in pipe.timer.seconds, k
+    assert pipe.timer.seconds['stream_encode'] > 0
 
 
 def test_kenburns_depth_field_path(rng):

@@ -103,6 +103,37 @@ def test_ldm_transformer_block_tp():
                                atol=2e-5)
 
 
+@pytest.mark.slow
+def test_beit_L_block_realistic_shape():
+    """TP at the REAL BEiT-L config (dim 1024, 16 heads, fc 4096,
+    384px conv stem → 577 tokens — the ZoeDepth backbone shape,
+    reference midas.py:333-346): numerics vs replicated + sharded
+    fraction on the real config, 8-device CPU mesh (VERDICT r4
+    item 5 — toy shapes say little about the L-sized matrices)."""
+    from cartoonsegmentation_tpu.models.beit import BeitBackbone
+    from cartoonsegmentation_tpu.parallel.tp import tp_bench_block
+    from cartoonsegmentation_tpu.utils.env import jit_init
+
+    # the shared helper runs the sharded forward at the real shape
+    out = tp_bench_block(n_model=8, depth=1, img=384, repeats=1)
+    assert out['n_model'] == 8
+    # heads=16 divides 8; qkv/proj/fc1/fc2 are ~12.6M of the block's
+    # params, patch embed + norms replicated → well above half
+    assert out['sharded_fraction'] > 0.6
+    assert 'dim1024 heads16 fc4096' in out['config']
+
+    # numerics: TP forward == replicated forward at the same weights
+    model = BeitBackbone(img_size=(384, 384), depth=1, hooks=(0,))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 384, 384, 3), jnp.float32)
+    variables = jit_init(model, jax.random.PRNGKey(0), x)
+    ref = jax.jit(model.apply)(variables, x)
+    mesh = mesh_dm(1, 8)
+    out_tp = jax.jit(model.apply)(shard_params(mesh, variables), x)
+    for a, b in zip(jax.device_get(ref), jax.device_get(out_tp)):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
+
+
 def test_swinv2_tp():
     from cartoonsegmentation_tpu.models.swinv2 import WindowAttentionV2
     attn = WindowAttentionV2(dim=64, num_heads=8, window_size=(4, 4))
