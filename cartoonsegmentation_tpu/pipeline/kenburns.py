@@ -18,6 +18,7 @@ TPU re-design of reference anime_3dkenburns/kenburns_effect.py
 from __future__ import annotations
 
 import math
+import time as _time
 from typing import Dict, Optional, Tuple, Union
 
 import jax
@@ -1067,6 +1068,7 @@ class KenBurnsPipeline:
         if use_i420:
             from ..utils.image import bgr_to_i420, i420_to_bgr_host
         n_chunks = -(-T // chunk)
+        t_dispatch = _time.time()
         dev_chunks = []
         for ci in range(n_chunks):
             sl = cams_t[ci * chunk:(ci + 1) * chunk]
@@ -1081,20 +1083,61 @@ class KenBurnsPipeline:
             except Exception:
                 pass
             dev_chunks.append(frames_c)
+        # attribution seam: computation done (transfers already in
+        # flight via copy_to_host_async, so this block costs no wall
+        # time when the link is the bottleneck)
+        jax.block_until_ready(dev_chunks)
+        self.timer.add('stream_render', _time.time() - t_dispatch)
 
+        # decode (i420→BGR) + mp4 encode in a worker thread so the
+        # host CPU encodes chunk k while the tunnel pulls chunk k+1 —
+        # the pulls in the main loop are pure link time, giving both
+        # overlap and clean {render, transfer, encode} attribution
+        # (VERDICT r4 item 1)
+        import queue
+        import threading
         vw = cv2.VideoWriter(video_path,
                              cv2.VideoWriter_fourcc(*'mp4v'), fps,
                              (W, H))
-        host = []
+        host: list = [None] * n_chunks
+        q: 'queue.Queue' = queue.Queue(maxsize=4)
+        enc_s = [0.0]
+        enc_err: list = []
+
+        def encoder():
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    ci, arr = item
+                    t0 = _time.time()
+                    if use_i420:
+                        arr = i420_to_bgr_host(arr)
+                    if ci == n_chunks - 1:
+                        arr = arr[:T - ci * chunk]
+                    host[ci] = arr
+                    for f in arr:
+                        vw.write(f)
+                    enc_s[0] += _time.time() - t0
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                enc_err.append(e)
+
+        th = threading.Thread(target=encoder, daemon=True)
+        th.start()
+        xfer = 0.0
         for ci, c in enumerate(dev_chunks):
-            arr = np.asarray(c)
-            if use_i420:
-                arr = i420_to_bgr_host(arr)
-            if ci == n_chunks - 1:
-                arr = arr[:T - ci * chunk]
-            host.append(arr)
-            for f in arr:
-                vw.write(f)
+            t0 = _time.time()
+            arr = np.asarray(c)         # blocks on the async D2H copy
+            xfer += _time.time() - t0
+            q.put((ci, arr))
+        q.put(None)
+        th.join()
+        self.timer.add('stream_transfer', xfer)
+        self.timer.add('stream_encode', enc_s[0])
+        if enc_err:
+            vw.release()
+            raise enc_err[0]
         frames = np.concatenate(host) if host else \
             np.zeros((0, H, W, 3), np.uint8)
         if cfg.playback:

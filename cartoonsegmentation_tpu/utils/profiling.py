@@ -28,6 +28,13 @@ class StageTimer:
         self.seconds.clear()
         self.counts.clear()
 
+    def add(self, stage: str, seconds: float) -> None:
+        """Manually accumulate seconds measured elsewhere (e.g. inside
+        a worker thread, where the context manager can't wrap the
+        caller's loop)."""
+        self.seconds[stage] = self.seconds.get(stage, 0.0) + seconds
+        self.counts[stage] = self.counts.get(stage, 0) + 1
+
     @contextlib.contextmanager
     def time(self, stage: str) -> Iterator[None]:
         t0 = time.time()
