@@ -111,6 +111,48 @@ def shard_params(mesh: Mesh, params,
     return jax.device_put(params, tp_shardings(mesh, params, rules))
 
 
+def tp_bench_block(n_model: int, depth: int = 1, img: int = 384,
+                   repeats: int = 3) -> dict:
+    """One REAL BEiT-L-config block (dim 1024, 16 heads, fc 4096 —
+    the ZoeDepth-backbone shape, models/beit.py defaults; reference
+    torch.hub core: depth_modules/zoedepth/models/base_models/
+    midas.py:333-346) forwarded under the Megatron rules on a
+    (1, n_model) mesh. Returns config + sharded fraction + best
+    forward seconds. bench.py calls this when >1 real device is
+    present; the realistic-shape CPU-mesh TP test reuses it."""
+    import time
+
+    import numpy as np_
+    import jax.numpy as jnp
+
+    from ..models.beit import BeitBackbone
+    from ..utils.env import jit_init
+    model = BeitBackbone(img_size=(img, img), depth=depth,
+                         hooks=(depth - 1,))
+    entropy = np_.random.default_rng()      # fresh values: the TPU
+    # runtime memoizes identical-input executions across processes
+    x = jnp.asarray(entropy.random((1, img, img, 3)), jnp.float32)
+    variables = jit_init(model, jax.random.PRNGKey(0), x)
+    devs = np_.array(jax.devices()[:n_model]).reshape(1, n_model)
+    mesh = Mesh(devs, ('data', 'model'))
+    frac = tp_sharded_fraction(mesh, variables)
+    v_tp = shard_params(mesh, variables)
+    fwd = jax.jit(model.apply)
+    jax.block_until_ready(fwd(v_tp, x))     # compile
+    best = float('inf')
+    for _ in range(repeats):
+        xi = jnp.asarray(entropy.random((1, img, img, 3)),
+                         jnp.float32)
+        t0 = time.time()
+        jax.block_until_ready(fwd(v_tp, xi))
+        best = min(best, time.time() - t0)
+    return {'config': f'BEiT-L block dim1024 heads16 fc4096 '
+                      f'img{img} depth{depth}',
+            'n_model': int(n_model),
+            'sharded_fraction': round(frac, 3),
+            'fwd_s': round(best, 4)}
+
+
 def tp_sharded_fraction(mesh: Mesh, params,
                         rules: Sequence[Tuple[str, P]] =
                         TRANSFORMER_TP_RULES) -> float:
