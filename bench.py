@@ -45,6 +45,90 @@ def remaining() -> float:
     return BUDGET - (time.time() - T0)
 
 
+def tunnel_probe(entropy, mb: int = 64):
+    """In-run raw link bandwidth (VERDICT r4 item 1): time a fixed
+    ~`mb` MB H2D push and D2H pull of fresh OS-entropy bytes →
+    (H2D MB/s, D2H MB/s). Fresh data per call — raw transfers aren't
+    execution-memoized, but regimes drift, so callers probe at the
+    point in the run whose numbers they want to interpret."""
+    import jax
+    a = entropy.integers(0, 255, (mb, 1024, 1024), dtype=np.uint8)
+    t0 = time.time()
+    d = jax.device_put(a)
+    jax.block_until_ready(d)
+    h2d = mb / (time.time() - t0)
+    t0 = time.time()
+    np.asarray(jax.device_get(d))
+    d2h = mb / (time.time() - t0)
+    del d
+    return round(h2d, 1), round(d2h, 1)
+
+
+def matmul_peak(entropy):
+    """Measured bf16 matmul roofline on THIS chip in THIS run
+    (VERDICT r4 item 2) — replaces the hard-coded 25e12 sanity
+    constant. A chain of large (4096²·bf16) matmuls inside lax.scan,
+    timed with the same two-scan-lengths differencing discipline as
+    det_bench (cancels the H2D of the fresh seed input and the
+    dispatch overhead); FLOPs from XLA cost_analysis. Returns
+    TFLOP/s or None if the measurement is unusable."""
+    import jax
+    import jax.numpy as jnp
+    D = 4096
+    K = 4                                   # matmuls per scan step
+    wrng = np.random.RandomState(0)
+    Ws = [jnp.asarray(wrng.randn(D, D).astype(np.float32) * 0.02,
+                      dtype=jnp.bfloat16) for _ in range(K)]
+    scale = jnp.bfloat16(1.0 / np.sqrt(D))
+
+    def make(length):
+        @jax.jit
+        def f(seed):                        # seed (256, D) f32, ~4 MB
+            y = jnp.tile(seed, (D // seed.shape[0], 1)) \
+                .astype(jnp.bfloat16)
+
+            def step(y, _):
+                for W in Ws:                # chained — can't hoist
+                    y = (y @ W) * scale
+                return y, ()
+            y, _ = jax.lax.scan(step, y, None, length=length)
+            return y.astype(jnp.float32).mean()
+        return f
+
+    l1, l2 = 3, 9
+    f1, f2 = make(l1), make(l2)
+    seed0 = entropy.standard_normal((256, D)).astype(np.float32)
+    flops = None
+    try:
+        ca = f2.lower(jnp.asarray(seed0)).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = ca.get('flops')
+    except Exception:
+        pass
+    if not flops:                           # analytic fallback
+        flops = l2 * K * 2.0 * D ** 3
+    for f in (f1, f2):
+        jax.block_until_ready(f(jnp.asarray(seed0)))
+
+    def run_once(f):
+        x = entropy.standard_normal((256, D)).astype(np.float32)
+        t0 = time.time()
+        jax.block_until_ready(f(jnp.asarray(x)))
+        return time.time() - t0
+
+    diffs = []
+    for _ in range(3):
+        ta = run_once(f1)
+        tb = run_once(f2)
+        diffs.append(tb - ta)
+    dt = float(np.median(diffs))
+    if dt <= 0.01:
+        return None
+    diff_flops = flops * (l2 - l1) / l2
+    return diff_flops / dt / 1e12
+
+
 def main() -> None:
     import cv2
     import jax
@@ -83,6 +167,12 @@ def main() -> None:
     log(f'device: {jax.devices()[0]}; detector={cfg.detector} '
         f'refine={cfg.refine_method} depth={cfg.depth_est} '
         f'max_instances={cfg.max_instances}')
+
+    # raw link bandwidth FIRST: every host-touching stage number below
+    # is only interpretable relative to this run's tunnel regime (the
+    # regime fluctuates 2-3x between runs — README perf notes)
+    h2d0, d2h0 = tunnel_probe(np.random.default_rng())
+    log(f'tunnel probe: H2D {h2d0} MB/s, D2H {d2h0} MB/s')
 
     # --- phase 1: generate_state (detector fwd + ISNet refine + depth
     # + instance adjust + point cloud) — compile pass, then a steady
@@ -163,6 +253,8 @@ def main() -> None:
         'inpaint_passes_compile_s': round(inpaint_compile_s, 3),
         'inpaint_passes_steady_s': round(inpaint_steady_s, 3),
         'render_s_total': round(dt, 3),
+        'tunnel_H2D_MBps': h2d0,
+        'tunnel_D2H_MBps': d2h0,
         'device': str(jax.devices()[0]),
     }
 
@@ -224,41 +316,157 @@ def main() -> None:
         # the WHOLE clip, image → mp4 (detector + refine + depth +
         # autozoom + inpaint + chunked render overlapped with I420
         # transfer+encode): the reference's headline workload
-        # (run_kenburns.py:19-41). Steady state: second run, perturbed
-        # image so nothing memoizes.
+        # (run_kenburns.py:19-41) and this bench's CO-HEADLINE
+        # (VERDICT r4 item 1). Steady state: second run, perturbed
+        # image so nothing memoizes. A fresh in-run tunnel probe right
+        # before the timed run makes the host-touching stage seconds
+        # interpretable against THIS phase's link regime.
         log('clip: compile any rest (streaming render fns)')
         pipe.run(img, '/tmp/bench_clip.mp4')
+        h2d1, d2h1 = tunnel_probe(entropy)
+        log(f'pre-clip tunnel probe: H2D {h2d1} MB/s, D2H {d2h1} MB/s')
         img3 = cv2.convertScaleAbs(
             img, alpha=float(entropy.uniform(0.99, 0.9945)))
         log('clip: steady timed run')
         snap_t = dict(pipe.timer.seconds)
         t0 = time.time()
         pipe.run(img3, '/tmp/bench_clip.mp4')
-        extra['clip_wall_s'] = round(time.time() - t0, 3)
-        extra['clip_stage_s'] = {
+        clip_wall = time.time() - t0
+        stage_s = {
             k: round(v - snap_t.get(k, 0.0), 2)
             for k, v in pipe.timer.seconds.items()
             if v - snap_t.get(k, 0.0) > 0.05}
-        log(f"clip stage breakdown: {extra['clip_stage_s']}")
+        extra['clip_wall_s'] = round(clip_wall, 3)
+        extra['clip_stage_s'] = stage_s
+        extra['tunnel_D2H_MBps_preclip'] = d2h1
+        log(f'clip stage breakdown: {stage_s}')
+        # the link-bound floor for this regime: the I420 frame bytes
+        # that must cross the tunnel, at the just-probed D2H rate
+        T, H, W = frames.shape[:3]
+        i420_mb = T * H * W * 1.5 / 1e6
+        bound = i420_mb / d2h1 if d2h1 else None
+        extra['clip_i420_MB'] = round(i420_mb, 1)
+        extra['clip_transfer_bound_s'] = \
+            round(bound, 2) if bound else None
+        # co-headline: the user-facing image→mp4 latency, attributed
+        # (vs_baseline: clip seconds per second of produced 25fps
+        # video — the reference's own workload definition,
+        # run_kenburns.py:19-41, has no published wall number)
+        print(json.dumps({
+            'metric': 'kenburns_clip_wall_s',
+            'value': round(clip_wall, 3),
+            'unit': 'seconds (image->mp4, 75f@1024)',
+            'vs_baseline': round(clip_wall / (cfg.num_frame / 25.0), 3),
+            'extra': {'stage_s': stage_s,
+                      'tunnel_D2H_MBps': d2h1,
+                      'i420_MB': round(i420_mb, 1),
+                      'transfer_bound_s':
+                          round(bound, 2) if bound else None},
+        }), flush=True)
     phase('clip_wall', 300, p_clip)
 
+    peak_holder = [None]
+
+    def p_roofline():
+        peak = matmul_peak(entropy)
+        peak_holder[0] = peak
+        extra['matmul_peak_tflops_measured'] = \
+            round(peak, 2) if peak else None
+        log(f'measured bf16 matmul peak: {peak and round(peak, 2)} '
+            f'TFLOP/s')
+    phase('matmul_roofline', 120, p_roofline)
+
     def p_det_bench():
-        f, co, tf = det_bench(img, entropy, 'bfloat16', batch=1)
+        # sanity ceiling for the differenced compute estimate: 2x the
+        # JUST-MEASURED matmul peak on this chip (VERDICT r4 item 2 —
+        # no more hard-coded constant); conservative fallback if the
+        # roofline phase didn't run
+        sanity = (2.0 * peak_holder[0] * 1e12) if peak_holder[0] \
+            else 25e12
+        f, co, tf = det_bench(img, entropy, 'bfloat16', batch=1,
+                              sanity_flops=sanity)
         extra['detector_fwd_fps_640_bf16'] = round(f, 2)
         if remaining() > 180:
             f16, co16, tf16 = det_bench(img, entropy, 'bfloat16',
-                                        batch=16)
+                                        batch=16, sanity_flops=sanity)
             extra['detector_fwd_fps_640_bf16_b16'] = round(f16, 2)
             extra['detector_b16_tflops'] = \
                 round(tf16, 2) if tf16 else None
+            if tf16 and peak_holder[0]:
+                extra['detector_pct_of_measured_peak'] = \
+                    round(100.0 * tf16 / peak_holder[0], 1)
     phase('det_bench', 240, p_det_bench)
+
+    def p_marigold():
+        # the native diffusion depth path ON THE REAL TPU (VERDICT r4
+        # item 4): one LCM 4-step, ensemble-5 Marigold inference at
+        # reduced res (the reference wrapper's sampler config,
+        # utils/apply_marigold.py:8-49). First call compiles the
+        # SD2-UNet graph (minutes through the tunnel, then cached in
+        # .jax_cache); the steady call perturbs the image so nothing
+        # memoizes.
+        from cartoonsegmentation_tpu.models.marigold import \
+            MarigoldDepth
+        est = MarigoldDepth(processing_res=384, denoise_steps=4,
+                            ensemble_size=5, scheduler='lcm')
+        rgb = img[..., ::-1].copy()
+        t0 = time.time()
+        est(rgb)
+        extra['marigold_compile_s'] = round(time.time() - t0, 1)
+        log(f"marigold compile+run: {extra['marigold_compile_s']}s")
+        rgb2 = cv2.convertScaleAbs(
+            rgb, alpha=float(entropy.uniform(0.99, 0.999)))
+        t0 = time.time()
+        est(rgb2, seed=int(entropy.integers(1, 1 << 30)))
+        extra['marigold_steady_s'] = round(time.time() - t0, 2)
+        extra['marigold_cfg'] = 'res384 lcm4 ens5'
+        log(f"marigold steady: {extra['marigold_steady_s']}s")
+    phase('marigold_tpu', 450, p_marigold)
+
+    def p_ldm_native():
+        # the in-process SD-inpainting path on the real TPU (VERDICT
+        # r4 item 4): 4 DDIM steps at 256 (config-reduced; the point
+        # is a captured on-TPU execution, not quality)
+        from cartoonsegmentation_tpu.models.ldm_inpaint import \
+            LDMInpainter
+        inp = LDMInpainter(steps=4)
+        small = cv2.resize(img, (512, 384))
+        mask = np.zeros(small.shape[:2], np.uint8)
+        mask[120:260, 160:360] = 255
+        t0 = time.time()
+        inp(small, mask, res=256)
+        extra['ldm_native_compile_s'] = round(time.time() - t0, 1)
+        log(f"ldm_native compile+run: {extra['ldm_native_compile_s']}s")
+        small2 = cv2.convertScaleAbs(
+            small, alpha=float(entropy.uniform(0.99, 0.999)))
+        t0 = time.time()
+        inp(small2, mask, res=256,
+            seed=int(entropy.integers(1, 1 << 30)))
+        extra['ldm_native_steady_s'] = round(time.time() - t0, 2)
+        extra['ldm_native_cfg'] = 'res256 ddim4'
+        log(f"ldm_native steady: {extra['ldm_native_steady_s']}s")
+    phase('ldm_native_tpu', 450, p_ldm_native)
+
+    def p_tp():
+        # TP forward measurement needs >1 real chip; on this 1-chip
+        # tunnel it records why it can't run (VERDICT r4 item 5's
+        # bench hook). With n>=2 real devices: BEiT-L block under
+        # Megatron rules on a (1, n) model mesh.
+        n = len(jax.devices())
+        if n < 2:
+            extra['tp_forward'] = 'skipped: 1 real device ' \
+                '(TP measured on the 8-device CPU mesh in tests)'
+            return
+        from cartoonsegmentation_tpu.parallel.tp import tp_bench_block
+        extra['tp_forward'] = tp_bench_block(n)
+    phase('tp_forward', 60, p_tp)
 
     log(f'done in {time.time() - T0:.0f}s; skipped: {skipped}')
     extra['skipped_phases'] = skipped
     print(json.dumps(headline()), flush=True)
 
 
-def det_bench(img, entropy, dtype, batch=1):
+def det_bench(img, entropy, dtype, batch=1, sanity_flops=25e12):
     """Detector forward throughput at 640 (secondary metric).
 
     Transfer-inclusive throughput + a compute-only estimate.
@@ -277,8 +485,8 @@ def det_bench(img, entropy, dtype, batch=1):
     The inclusive figure is a lower bound on real throughput and
     is what gets REPORTED; the differenced compute-only estimate
     is returned separately and discarded when timing noise makes
-    it unphysical (> 25 TFLOP/s — 2x the best sustained matmul
-    rate ever measured through this tunnel; the chip is
+    it unphysical (`sanity_flops` — 2x the matmul peak MEASURED on
+    this chip in this run by matmul_peak(); the chip is
     virtualized/time-sliced well below v5e paper peak).
     """
     import jax
@@ -344,7 +552,7 @@ def det_bench(img, entropy, dtype, batch=1):
     if dt > 0.01:
         cand = (l2 - l1) * batch / dt
         if (flops_per_img is not None
-                and cand * flops_per_img < 25e12):
+                and cand * flops_per_img < sanity_flops):
             fps_diff = cand
     best = max(fps_incl, fps_diff or 0.0)
     tflops = best * flops_per_img / 1e12 if flops_per_img else None
