@@ -24,6 +24,29 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line(
         'markers', 'slow: long-running closure/integration tests')
+    config.addinivalue_line(
+        'markers', 'quick: fast tier (`pytest -m quick` < 5 min) — '
+                   'oracle ops, config/instances, metrics fixtures, '
+                   'serving routes, style loop')
+
+
+# files whose tests (minus any marked slow) form the <5-min quick
+# tier (VERDICT r4 item 7). Timed unloaded: ~3.5 min total.
+QUICK_FILES = {
+    'test_core.py', 'test_rle.py', 'test_metrics.py',
+    'test_ops_pointcloud.py', 'test_ops_bokeh.py',
+    'test_discfill_fast.py', 'test_camera_autozoom.py',
+    'test_crf.py', 'test_coco_protocol.py',
+    'test_style_and_fill.py', 'test_serving.py',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import os.path as osp
+    for it in items:
+        if osp.basename(str(it.fspath)) in QUICK_FILES \
+                and 'slow' not in it.keywords:
+            it.add_marker(pytest.mark.quick)
 
 
 @pytest.fixture

@@ -2,6 +2,7 @@
 version. The digital lines differ by at most one pixel per step, so
 fills agree exactly on axis-aligned gaps and near-exactly elsewhere."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cartoonsegmentation_tpu.ops.discfill import (fill_disocclusion,
@@ -61,6 +62,7 @@ def test_fast_fill_edge_holes_stay(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fast2_matches_fast_exactly(rng):
     from cartoonsegmentation_tpu.ops.discfill2 import (
         fill_disocclusion_fast2)
@@ -93,6 +95,7 @@ def test_fast3_matches_fast_exactly(rng):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fast_fills_match_bruteforce_walk_oracle(rng):
     from cartoonsegmentation_tpu.ops.discfill2 import \
         fill_disocclusion_fast2
