@@ -7,8 +7,11 @@ Prints the headline JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 IMMEDIATELY after the render measurement (so a later timeout cannot
 forfeit the number), then runs secondary phases behind a wall-clock
-budget (env BENCH_BUDGET_S, default 1500 s) and re-prints the same
-headline enriched with their results as the final line. Every phase
+budget (env BENCH_BUDGET_S, default 2200 s) and re-prints the same
+headline enriched with their results as the final line. The clip
+phase prints a second headline, `kenburns_clip_wall_s` — the
+user-facing image→mp4 latency with per-stage attribution and the
+in-run tunnel-bandwidth probe that makes it interpretable. Every phase
 logs a timestamp to stderr so a timeout is diagnosable (the r3 run
 died in an un-attributed 25-minute compile).
 
@@ -33,7 +36,11 @@ import time
 import numpy as np
 
 T0 = time.time()
-BUDGET = float(os.environ.get('BENCH_BUDGET_S', '1500'))
+# 2200 default: the FIRST device interaction of a fresh process pays
+# the tunnel/device cold start (observed 5-17 min, absorbed by the
+# opening bandwidth probe); every phase prints its JSON as soon as it
+# completes, so an external kill still preserves the numbers so far
+BUDGET = float(os.environ.get('BENCH_BUDGET_S', '2200'))
 
 
 def log(msg: str) -> None:
@@ -45,17 +52,36 @@ def remaining() -> float:
     return BUDGET - (time.time() - T0)
 
 
-def tunnel_probe(entropy, mb: int = 64):
+def tunnel_probe(entropy, mb: int = 48):
     """In-run raw link bandwidth (VERDICT r4 item 1): time a fixed
     ~`mb` MB H2D push and D2H pull of fresh OS-entropy bytes →
     (H2D MB/s, D2H MB/s). Fresh data per call — raw transfers aren't
     execution-memoized, but regimes drift, so callers probe at the
-    point in the run whose numbers they want to interpret."""
+    point in the run whose numbers they want to interpret.
+
+    device_put through this tunnel is LAZY: block_until_ready returns
+    before the bytes actually cross, so the H2D timing forces
+    materialization with a device-side reduction (jitted; warmed up
+    first so its compile/dispatch isn't in the timing), and a 1 MB
+    warm-up round trip precedes both directions."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def touch(x):
+        return x.sum()
+
+    # warm-up: compile `touch` AT THE PROBE SHAPE (zeros — content
+    # doesn't matter, this round trip is untimed) + one small pull
+    w = np.zeros((mb, 1024, 1024), dtype=np.uint8)
+    dw = jax.device_put(w)
+    jax.block_until_ready(touch(dw))
+    np.asarray(jax.device_get(dw[:1]))
+    del dw
     a = entropy.integers(0, 255, (mb, 1024, 1024), dtype=np.uint8)
     t0 = time.time()
     d = jax.device_put(a)
-    jax.block_until_ready(d)
+    jax.block_until_ready(touch(d))                     # forces the push
     h2d = mb / (time.time() - t0)
     t0 = time.time()
     np.asarray(jax.device_get(d))
@@ -70,8 +96,14 @@ def matmul_peak(entropy):
     constant. A chain of large (4096²·bf16) matmuls inside lax.scan,
     timed with the same two-scan-lengths differencing discipline as
     det_bench (cancels the H2D of the fresh seed input and the
-    dispatch overhead); FLOPs from XLA cost_analysis. Returns
-    TFLOP/s or None if the measurement is unusable."""
+    dispatch overhead); analytic FLOPs (exact for matmuls). Returns
+    TFLOP/s or None if the measurement is unusable.
+
+    Measured r5: 190.5 TFLOP/s — essentially the v5e paper bf16 peak
+    (197), i.e. the chip computes at FULL speed and only the tunnel
+    link is slow. This replaced the old hard-coded 25e12 'best
+    sustained through this tunnel' guess, which undersold the chip
+    by ~8x."""
     import jax
     import jax.numpy as jnp
     D = 4096
@@ -95,19 +127,17 @@ def matmul_peak(entropy):
             return y.astype(jnp.float32).mean()
         return f
 
-    l1, l2 = 3, 9
+    # the differenced work must dwarf tunnel dispatch noise (~0.1 s):
+    # 64 extra steps × 4 matmuls × 2·4096³ ≈ 35 TFLOP → ≥0.2 s even
+    # at full v5e bf16 peak (the first run's 6-step diff was ~17 ms
+    # and vanished into the noise)
+    l1, l2 = 8, 72
     f1, f2 = make(l1), make(l2)
     seed0 = entropy.standard_normal((256, D)).astype(np.float32)
-    flops = None
-    try:
-        ca = f2.lower(jnp.asarray(seed0)).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = ca.get('flops')
-    except Exception:
-        pass
-    if not flops:                           # analytic fallback
-        flops = l2 * K * 2.0 * D ** 3
+    # analytic FLOPs — exact for a pure matmul chain (2·D³ each), and
+    # avoids a second lower().compile() of the big program just to ask
+    # cost_analysis what we already know
+    flops = l2 * K * 2.0 * D ** 3
     for f in (f1, f2):
         jax.block_until_ready(f(jnp.asarray(seed0)))
 
@@ -123,7 +153,7 @@ def matmul_peak(entropy):
         tb = run_once(f2)
         diffs.append(tb - ta)
     dt = float(np.median(diffs))
-    if dt <= 0.01:
+    if dt <= 0.05:
         return None
     diff_flops = flops * (l2 - l1) / l2
     return diff_flops / dt / 1e12
@@ -421,7 +451,7 @@ def main() -> None:
         extra['marigold_steady_s'] = round(time.time() - t0, 2)
         extra['marigold_cfg'] = 'res384 lcm4 ens5'
         log(f"marigold steady: {extra['marigold_steady_s']}s")
-    phase('marigold_tpu', 450, p_marigold)
+    phase('marigold_tpu', 240, p_marigold)
 
     def p_ldm_native():
         # the in-process SD-inpainting path on the real TPU (VERDICT
@@ -445,7 +475,7 @@ def main() -> None:
         extra['ldm_native_steady_s'] = round(time.time() - t0, 2)
         extra['ldm_native_cfg'] = 'res256 ddim4'
         log(f"ldm_native steady: {extra['ldm_native_steady_s']}s")
-    phase('ldm_native_tpu', 450, p_ldm_native)
+    phase('ldm_native_tpu', 180, p_ldm_native)
 
     def p_tp():
         # TP forward measurement needs >1 real chip; on this 1-chip

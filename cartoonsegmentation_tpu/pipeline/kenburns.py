@@ -1109,7 +1109,7 @@ class KenBurnsPipeline:
                 while True:
                     item = q.get()
                     if item is None:
-                        return
+                        break
                     ci, arr = item
                     t0 = _time.time()
                     if use_i420:
@@ -1118,6 +1118,17 @@ class KenBurnsPipeline:
                         arr = arr[:T - ci * chunk]
                     host[ci] = arr
                     for f in arr:
+                        vw.write(f)
+                    enc_s[0] += _time.time() - t0
+                if cfg.playback:
+                    # the palindrome tail (reference npyframes2video
+                    # playback, kenburns_effect.py:1086-1090) stays in
+                    # the worker so its encode time is attributed to
+                    # stream_encode rather than vanishing into the
+                    # phase total
+                    t0 = _time.time()
+                    flat = [f for c in host for f in c]
+                    for f in flat[::-1][1:-1]:
                         vw.write(f)
                     enc_s[0] += _time.time() - t0
             except Exception as e:  # noqa: BLE001 — surfaced below
@@ -1138,12 +1149,9 @@ class KenBurnsPipeline:
         if enc_err:
             vw.release()
             raise enc_err[0]
+        vw.release()
         frames = np.concatenate(host) if host else \
             np.zeros((0, H, W, 3), np.uint8)
-        if cfg.playback:
-            for f in list(frames)[::-1][1:-1]:
-                vw.write(f)
-        vw.release()
         return frames
 
     def _stream_fns(self, state, max_cw, max_ch, depth_field,
