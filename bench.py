@@ -223,6 +223,21 @@ def main() -> None:
                   for k in pipe.timer.seconds}
     log(f'generate_state steady pass: {gen_steady} '
         f'(instances detected: {n_det})')
+    # per-stage H2D cost at the probed link rate (VERDICT r4 item 1):
+    # the detector stage pushes a uint8 det_size² canvas + the refine
+    # stage's image; depth pushes its own resized input. These bounds
+    # say how much of each steady stage is link, not compute.
+    H0, W0 = img.shape[:2]
+    s = min(1024 / max(H0, W0), 1.0)
+    Hs, Ws = int(H0 * s), int(W0 * s)
+    det_mb = (cfg.det_size ** 2 * 3 + Hs * Ws * 3) / 1e6
+    depth_mb = Hs * Ws * 3 * 4 / 1e6     # f32 at working res (LeReS)
+    gen_h2d_est = {
+        'detector_h2d_est_s': round(det_mb / h2d0, 3) if h2d0 else None,
+        'depth_h2d_est_s': round(depth_mb / h2d0, 3) if h2d0 else None,
+    }
+    log(f'H2D estimates at probe rate: {gen_h2d_est} '
+        f'(det {det_mb:.1f} MB, depth {depth_mb:.1f} MB)')
 
     # --- phase 2: autozoom (already timed within generate flow)
     log('autozoom')
@@ -280,6 +295,7 @@ def main() -> None:
         'max_instances': cfg.max_instances,
         'instances_detected_random_weights': n_det,
         'gen_state_steady_s': gen_steady,
+        'gen_state_h2d_est_s': gen_h2d_est,
         'inpaint_passes_compile_s': round(inpaint_compile_s, 3),
         'inpaint_passes_steady_s': round(inpaint_steady_s, 3),
         'render_s_total': round(dt, 3),
