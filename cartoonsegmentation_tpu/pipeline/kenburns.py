@@ -1059,14 +1059,14 @@ class KenBurnsPipeline:
         cams_t = np.concatenate(
             [cams, np.asarray(steps, np.float32)[:, None]], 1)
 
+        use_i420 = yuv420 and H % 4 == 0 and W % 2 == 0
+        if use_i420:
+            from ..utils.image import i420_to_bgr_host
         fns = self._stream_fns(state, max_cw, max_ch, bool(depth_field),
-                               chunk)
+                               chunk, use_i420)
         fp_fn, chunk_fn = fns
         fp_start, fp_end = fp_fn(state, jnp.asarray(cams_t[:1]))
 
-        use_i420 = yuv420 and H % 4 == 0 and W % 2 == 0
-        if use_i420:
-            from ..utils.image import bgr_to_i420, i420_to_bgr_host
         n_chunks = -(-T // chunk)
         t_dispatch = _time.time()
         dev_chunks = []
@@ -1075,9 +1075,10 @@ class KenBurnsPipeline:
             if len(sl) < chunk:
                 sl = np.concatenate(
                     [sl, np.repeat(sl[-1:], chunk - len(sl), 0)], 0)
+            # the I420 pack runs INSIDE chunk_fn (one dispatch per
+            # chunk instead of two — each un-fused dispatch is a
+            # tunnel round trip)
             frames_c = chunk_fn(state, jnp.asarray(sl), fp_start, fp_end)
-            if use_i420:
-                frames_c = bgr_to_i420(frames_c)
             try:
                 frames_c.copy_to_host_async()
             except Exception:
@@ -1155,15 +1156,17 @@ class KenBurnsPipeline:
         return frames
 
     def _stream_fns(self, state, max_cw, max_ch, depth_field,
-                    chunk):
+                    chunk, pack_i420: bool = False):
         """Compiled (focal_planes, chunk_scan) pair for the streaming
         renderer — the chunk scan takes the focal planes as inputs so
-        one compilation serves every chunk."""
+        one compilation serves every chunk. With ``pack_i420`` the
+        device-side BGR→I420 packing is fused into the same program
+        (one dispatch per chunk instead of two)."""
         cfg = self.cfg
         H, W = state.hw
         key = ('stream', H, W, state.cloud.capacity, chunk, max_cw,
                max_ch, depth_field, cfg.discfill_max_steps,
-               cfg.discfill_mode, cfg.render_payload_dtype)
+               cfg.discfill_mode, cfg.render_payload_dtype, pack_i420)
         if key not in self._jit_cache:
             # reuse render_frames' builders by compiling a T=chunk
             # variant: build the same closures with the right statics
@@ -1171,7 +1174,15 @@ class KenBurnsPipeline:
                                              depth_field, H, W)
             focal_planes, scan_frames = builders
             fp_fn = jax.jit(focal_planes)
-            chunk_fn = jax.jit(scan_frames)
+            if pack_i420:
+                from ..utils.image import bgr_to_i420
+
+                def scan_i420(state, cams, fp_s, fp_e):
+                    return bgr_to_i420(
+                        scan_frames(state, cams, fp_s, fp_e))
+                chunk_fn = jax.jit(scan_i420)
+            else:
+                chunk_fn = jax.jit(scan_frames)
             self._jit_cache[key] = (fp_fn, chunk_fn)
         return self._jit_cache[key]
 

@@ -124,6 +124,49 @@ class AnimeInsSeg:
         return {**out, 'valid': valid,
                 'masks': out['masks'] & valid[:, None, None]}
 
+    def _infer_fused(self, x: np.ndarray, h: int, w: int, nh: int,
+                     nw: int, scale: float, score_thr: float):
+        """Forward + postprocess + score filter + mask un-letterbox
+        resize + bbox rescale as ONE jitted program.
+
+        The rescale chain used to run op-by-op outside jit; on the
+        tunneled TPU every un-jitted op is a dispatch round trip
+        (~50-200 ms each), which dominated the detector stage's
+        steady seconds. One program = one dispatch."""
+        variables = self._ensure_variables()
+        key = ('infer_fused', h, w, nh, nw)
+        if not hasattr(self, '_jit_cache'):
+            self._jit_cache = {}
+        if key not in self._jit_cache:
+            det_size, max_det, mask_thr = \
+                self.det_size, self.max_instances, self.mask_thr
+
+            @jax.jit
+            def fn(variables, x, thr):
+                cls_out, reg_out, krn_out, mask_feat = self.model.apply(
+                    variables, normalize_canvas(x))
+                out = postprocess(
+                    tuple(cls_out), tuple(reg_out), tuple(krn_out),
+                    mask_feat, score_thr=0.0, mask_thr=mask_thr,
+                    pre_topk=512, max_det=max_det,
+                    input_h=det_size, input_w=det_size)
+                valid = out['valid'] & (out['scores'] > thr)
+                masks = out['masks'][:, :nh, :nw] \
+                    & valid[:, None, None]
+                masks = jax.image.resize(
+                    masks.astype(jnp.float32),
+                    (masks.shape[0], h, w), method='linear') > 0.5
+                bboxes = out['bboxes'] / scale
+                bboxes = jnp.clip(
+                    bboxes, jnp.zeros((4,)),
+                    jnp.asarray([w, h, w, h], jnp.float32))
+                xywh = jnp.concatenate(
+                    [bboxes[:, :2], bboxes[:, 2:] - bboxes[:, :2]], 1)
+                return (masks, jnp.round(xywh), out['scores'], valid)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key](variables, jnp.asarray(x),
+                                    jnp.float32(score_thr))
+
     # ------------------------------------------------------------------
     def infer(self, img: Union[str, np.ndarray],
               pred_score_thr: float = 0.3,
@@ -139,22 +182,12 @@ class AnimeInsSeg:
             img = cv2.imread(img)
         h, w = img.shape[:2]
         x, scale, (nh, nw) = self._preprocess(img)
-        out = self._run_device(x, pred_score_thr)
-
-        # rescale to original image space
-        masks = out['masks'][:, :nh, :nw]
-        masks = jax.image.resize(
-            masks.astype(jnp.float32),
-            (masks.shape[0], h, w), method='linear') > 0.5
-        bboxes = out['bboxes'] / scale
-        bboxes = jnp.clip(bboxes,
-                          jnp.zeros((4,)),
-                          jnp.asarray([w, h, w, h], jnp.float32))
-        # xyxy → xywh (reference _det_forward returns xywh int)
-        xywh = jnp.concatenate(
-            [bboxes[:, :2], bboxes[:, 2:] - bboxes[:, :2]], 1)
-        ins = Instances(masks=masks, bboxes=jnp.round(xywh),
-                        scores=out['scores'], valid=out['valid'])
+        # forward + postprocess + un-letterbox rescale to image space
+        # (xyxy → xywh like the reference _det_forward) in one program
+        masks, xywh, scores, valid = self._infer_fused(
+            x, h, w, nh, nw, scale, pred_score_thr)
+        ins = Instances(masks=masks, bboxes=xywh,
+                        scores=scores, valid=valid)
         if remove_duplicated:
             # overlap dedup (anime_instances.py:84-127 semantics)
             ins = ins.remove_duplicated()
