@@ -138,11 +138,17 @@ def tp_bench_block(n_model: int, depth: int = 1, img: int = 384,
     frac = tp_sharded_fraction(mesh, variables)
     v_tp = shard_params(mesh, variables)
     fwd = jax.jit(model.apply)
+    touch = jax.jit(lambda a: a.sum())
     jax.block_until_ready(fwd(v_tp, x))     # compile
+    jax.block_until_ready(touch(x))
     best = float('inf')
     for _ in range(repeats):
         xi = jnp.asarray(entropy.random((1, img, img, 3)),
                          jnp.float32)
+        # device_put/asarray is LAZY through the TPU tunnel — force
+        # the H2D to complete BEFORE the timed region so fwd_s is
+        # compute, not link (CLAUDE.md timing rules)
+        jax.block_until_ready(touch(xi))
         t0 = time.time()
         jax.block_until_ready(fwd(v_tp, xi))
         best = min(best, time.time() - t0)

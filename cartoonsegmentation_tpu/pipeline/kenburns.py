@@ -1134,6 +1134,11 @@ class KenBurnsPipeline:
                     enc_s[0] += _time.time() - t0
             except Exception as e:  # noqa: BLE001 — surfaced below
                 enc_err.append(e)
+                # keep draining: the queue is BOUNDED (maxsize=4), so
+                # a dead consumer would deadlock the producer's q.put
+                # forever instead of letting join()+re-raise run
+                while q.get() is not None:
+                    pass
 
         th = threading.Thread(target=encoder, daemon=True)
         th.start()

@@ -102,7 +102,12 @@ class AnimeInsSeg:
         canvas[:nh, :nw] = resized.astype(dt)
         return canvas[None], scale, (nh, nw)
 
-    def _run_device(self, x: np.ndarray, score_thr: float):
+    def _run_device(self, x: np.ndarray, score_thr: float = None):
+        """Fixed-det_size forward + postprocess — compiled ONCE and
+        shared across every input resolution. With score_thr given,
+        valid/masks are score-filtered outside jit (2 extra
+        dispatches — callers on the hot path use _rescale instead,
+        which folds the filter into its own program)."""
         variables = self._ensure_variables()
         if getattr(self, '_compiled', None) is None:
             det_size, max_det, mask_thr = \
@@ -119,52 +124,46 @@ class AnimeInsSeg:
                     input_h=det_size, input_w=det_size)
             self._compiled = fn
         out = self._compiled(variables, jnp.asarray(x))
-        # score threshold applied outside jit (traced value, no recompile)
+        if score_thr is None:
+            return out
         valid = out['valid'] & (out['scores'] > score_thr)
         return {**out, 'valid': valid,
                 'masks': out['masks'] & valid[:, None, None]}
 
-    def _infer_fused(self, x: np.ndarray, h: int, w: int, nh: int,
-                     nw: int, scale: float, score_thr: float):
-        """Forward + postprocess + score filter + mask un-letterbox
-        resize + bbox rescale as ONE jitted program.
+    def _rescale(self, out, h: int, w: int, nh: int, nw: int,
+                 scale: float, score_thr: float):
+        """Score filter + mask un-letterbox resize + bbox rescale as
+        one jitted program per output resolution.
 
-        The rescale chain used to run op-by-op outside jit; on the
-        tunneled TPU every un-jitted op is a dispatch round trip
-        (~50-200 ms each), which dominated the detector stage's
-        steady seconds. One program = one dispatch."""
-        variables = self._ensure_variables()
-        key = ('infer_fused', h, w, nh, nw)
+        This chain used to run op-by-op outside jit; on the tunneled
+        TPU every un-jitted op is a dispatch round trip (~50-200 ms),
+        which dominated the detector stage's steady seconds. One
+        small program per (h, w) = one dispatch — and the expensive
+        forward above stays compiled once for ALL resolutions (a
+        per-resolution detector recompile would cost minutes per new
+        image size in a mixed-size batch)."""
+        key = ('rescale', h, w, nh, nw)
         if not hasattr(self, '_jit_cache'):
             self._jit_cache = {}
         if key not in self._jit_cache:
-            det_size, max_det, mask_thr = \
-                self.det_size, self.max_instances, self.mask_thr
 
             @jax.jit
-            def fn(variables, x, thr):
-                cls_out, reg_out, krn_out, mask_feat = self.model.apply(
-                    variables, normalize_canvas(x))
-                out = postprocess(
-                    tuple(cls_out), tuple(reg_out), tuple(krn_out),
-                    mask_feat, score_thr=0.0, mask_thr=mask_thr,
-                    pre_topk=512, max_det=max_det,
-                    input_h=det_size, input_w=det_size)
-                valid = out['valid'] & (out['scores'] > thr)
-                masks = out['masks'][:, :nh, :nw] \
-                    & valid[:, None, None]
+            def fn(masks, bboxes, scores, valid, thr):
+                valid = valid & (scores > thr)
+                masks = masks[:, :nh, :nw] & valid[:, None, None]
                 masks = jax.image.resize(
                     masks.astype(jnp.float32),
                     (masks.shape[0], h, w), method='linear') > 0.5
-                bboxes = out['bboxes'] / scale
+                bboxes = bboxes / scale
                 bboxes = jnp.clip(
                     bboxes, jnp.zeros((4,)),
                     jnp.asarray([w, h, w, h], jnp.float32))
                 xywh = jnp.concatenate(
                     [bboxes[:, :2], bboxes[:, 2:] - bboxes[:, :2]], 1)
-                return (masks, jnp.round(xywh), out['scores'], valid)
+                return (masks, jnp.round(xywh), scores, valid)
             self._jit_cache[key] = fn
-        return self._jit_cache[key](variables, jnp.asarray(x),
+        return self._jit_cache[key](out['masks'], out['bboxes'],
+                                    out['scores'], out['valid'],
                                     jnp.float32(score_thr))
 
     # ------------------------------------------------------------------
@@ -182,10 +181,11 @@ class AnimeInsSeg:
             img = cv2.imread(img)
         h, w = img.shape[:2]
         x, scale, (nh, nw) = self._preprocess(img)
-        # forward + postprocess + un-letterbox rescale to image space
-        # (xyxy → xywh like the reference _det_forward) in one program
-        masks, xywh, scores, valid = self._infer_fused(
-            x, h, w, nh, nw, scale, pred_score_thr)
+        # fixed-size forward (compiled once) + per-size fused rescale
+        # to image space (xyxy → xywh like the reference _det_forward)
+        out = self._run_device(x)
+        masks, xywh, scores, valid = self._rescale(
+            out, h, w, nh, nw, scale, pred_score_thr)
         ins = Instances(masks=masks, bboxes=xywh,
                         scores=scores, valid=valid)
         if remove_duplicated:

@@ -698,29 +698,31 @@ class KenBurnsService:
             raise ValueError('no segmentor configured '
                              '(serve(..., segmentor=...)); use '
                              'whole_image mode instead')
-        tmp = tempfile.mkdtemp(prefix='style_batch_')
-        editor = self._style_editor(payload, tmp)
-        editor.cfg.save_dir = payload.get(
-            'save_dir', osp.join(d, 'repaint_output'))
-        results = []
-        for p in paths:
-            img = cv2.imread(p)
-            if img is None:
-                results.append({'path': p, 'error': 'unreadable'})
-                continue
-            name = osp.splitext(osp.basename(p))[0]
-            try:
-                saved = (editor.repaint_whole(img, name) if whole
-                         else editor.repaint(img, name))
-                results.append({'path': p, 'saved': saved})
-            except Exception as e:  # noqa: BLE001 — per-image seam:
-                # one bad image must not kill the whole batch
-                results.append({'path': p, 'error': str(e)})
         import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-        return {'count': len(paths),
-                'save_dir': editor.cfg.save_dir,
-                'results': results}
+        tmp = tempfile.mkdtemp(prefix='style_batch_')
+        try:
+            editor = self._style_editor(payload, tmp)
+            editor.cfg.save_dir = payload.get(
+                'save_dir', osp.join(d, 'repaint_output'))
+            results = []
+            for p in paths:
+                img = cv2.imread(p)
+                if img is None:
+                    results.append({'path': p, 'error': 'unreadable'})
+                    continue
+                name = osp.splitext(osp.basename(p))[0]
+                try:
+                    saved = (editor.repaint_whole(img, name) if whole
+                             else editor.repaint(img, name))
+                    results.append({'path': p, 'saved': saved})
+                except Exception as e:  # noqa: BLE001 — per-image
+                    # seam: one bad image must not kill the batch
+                    results.append({'path': p, 'error': str(e)})
+            return {'count': len(paths),
+                    'save_dir': editor.cfg.save_dir,
+                    'results': results}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def result_video(self, inpaint: bool = True) -> bytes:
         """Full render with inpainting → mp4 bytes. `inpaint=False`

@@ -99,37 +99,50 @@ def main():
         # the command line override it — mirroring run_style.py's
         # argv-presence scan so `--cfg x.yaml` doesn't silently reset
         # yaml fields like denoising_strength or save_dir to defaults
-        argv = set(sys.argv[1:])
-        long_names = {a.lstrip('-').split('=')[0] for a in argv
-                      if a.startswith('--')}
+        # resolve which DESTS were explicitly given, using argparse's
+        # own option table — this handles '-d0.6' attached short
+        # forms and '--denois' prefix abbreviations exactly like
+        # argparse itself resolved them (exact match beats prefix)
+        opts = ap._option_string_actions
+        present = set()
+        for a in sys.argv[1:]:
+            if not a.startswith('-'):
+                continue
+            t = a.split('=')[0]
+            if t in opts:
+                present.add(opts[t].dest)
+            elif t.startswith('--'):
+                cands = {act.dest for o, act in opts.items()
+                         if o.startswith('--') and o.startswith(t)}
+                if len(cands) == 1:
+                    present.add(next(iter(cands)))
+            elif len(t) > 2 and t[:2] in opts:
+                present.add(opts[t[:2]].dest)   # -d0.6
 
-        def given(*flags):
-            return bool(argv & set(flags)
-                        or long_names & {f.lstrip('-').replace('-', '_')
-                                         for f in flags
-                                         if f.startswith('--')})
-        if given('--url'):
+        def given(dest):
+            return dest in present
+        if given('url'):
             cfg.url = args.url
-        if given('-p', '--prompt'):
+        if given('prompt'):
             cfg.style_prompt = args.prompt
-        if given('-n', '--negative_prompt', '--nprompt'):
+        if given('nprompt'):
             cfg.global_nprompt = args.nprompt
-        if given('--bg_nprompt'):
+        if given('bg_nprompt'):
             cfg.bg_nprompt = args.bg_nprompt
-        if given('-W', '--width') or given('-H', '--height') \
+        if given('width') or given('height') \
                 or cfg.exact_size is None:
             cfg.exact_size = (args.width, args.height)
-        if given('-d', '--denoising_strength'):
+        if given('denoising_strength'):
             cfg.denoising_strength = args.denoising_strength
-        if given('-b', '--mask_blur'):
+        if given('mask_blur'):
             cfg.mask_blur = args.mask_blur
-        if given('-f', '--fill'):
+        if given('fill'):
             cfg.inpainting_fill = INPAINTING_FILL_METHODS.index(args.fill)
-        if given('--inpaint_full_res'):
+        if given('inpaint_full_res'):
             cfg.inpaint_full_res = args.inpaint_full_res
-        if given('--inpaint_full_res_padding'):
+        if given('inpaint_full_res_padding'):
             cfg.inpaint_full_res_padding = args.inpaint_full_res_padding
-        if given('--save_dir'):
+        if given('save_dir'):
             cfg.save_dir = args.save_dir
         if args.save_intermediate:
             cfg.save_intermediate = True
@@ -138,8 +151,20 @@ def main():
         if not args.infer_tagger:
             cfg.apply_fg_tagger = False
         # CLI-assembled ControlNet block fills in what the yaml left
-        # unset; yaml sd_params keys win (reference merge direction)
+        # unset; yaml sd_params keys win over CLI DEFAULTS (reference
+        # merge direction) — but an EXPLICIT CLI flag wins over yaml,
+        # as the --cfg help promises
         cfg.sd_params = {**sd_params, **cfg.sd_params}
+        for dest, key in (('steps', 'steps'),
+                          ('cfg_scale', 'cfg_scale'),
+                          ('sample_name', 'sampler_name')):
+            if given(dest):
+                cfg.sd_params[key] = getattr(args, dest)
+        if given('resolution'):
+            cn = cfg.sd_params.get('alwayson_scripts', {}) \
+                .get('controlnet', {}).get('args')
+            if cn:
+                cn[0]['processor_res'] = args.resolution
     else:
         cfg.url = args.url
         cfg.style_prompt = args.prompt

@@ -198,6 +198,7 @@ def main():
     repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
     cfg = build_kenburns_cfg(osp.join(repo, 'configs/3dkenburns.yaml'))
     depth_est = ('zoe' if 'zoe' in found else
+                 'zoe_nk' if 'zoe_nk' in found else
                  'leres' if 'leres' in found else
                  'default' if 'kb_disparity' in found else cfg.depth_est)
     cfg = cfg.replace(max_size=args.max_size,
@@ -226,6 +227,10 @@ def main():
                              found['leres'])),
                         ('zoe', lambda: pipe.load_zoe_checkpoint(
                              found['zoe'])),
+                        # load_zoe_checkpoint auto-detects the NK
+                        # router variant from the state dict
+                        ('zoe_nk', lambda: pipe.load_zoe_checkpoint(
+                             found['zoe_nk'])),
                         ('pix2pix', lambda: pipe.load_pix2pix_checkpoint(
                              found['pix2pix']))):
         if fam in found:

@@ -516,6 +516,25 @@ def test_repaint_person_cli_yaml_wins(rng, tmp_path, monkeypatch):
     assert call['steps'] == 5
     assert (tmp_path / 'yamlout' / 'repaint-default-in.png').exists()
 
+    # EXPLICIT CLI flags beat the yaml — including sd_params keys
+    # (-s) and the attached short-option form (-d0.6), which the
+    # presence scan resolves through argparse's own option table
+    _FakeSD.calls.clear()
+    srv2 = _serve()
+    monkeypatch.setattr('sys.argv', [
+        'repaint_person.py', '--img_path', imgp, '--no-onebyone',
+        '--cfg', str(yamlp), '-W', '64', '-H', '64',
+        '-s', '12', '-d0.6',
+        '--url',
+        f'http://127.0.0.1:{srv2.server_port}/sdapi/v1/img2img',
+    ])
+    mod.main()
+    srv2.shutdown()
+    call = _FakeSD.calls[0]
+    assert call['steps'] == 12                    # -s beats yaml's 5
+    assert call['denoising_strength'] == 0.6      # -d0.6 attached
+    assert call['prompt'] == 'from yaml'          # untouched field
+
 
 def test_repaint_person_cli_directory_and_bad_path(rng, tmp_path,
                                                    monkeypatch):
