@@ -489,6 +489,32 @@ def test_style_prepare_apply(rng):
         sd.shutdown()
 
 
+def test_webui_js_static_integrity():
+    """The served page's inline JS: balanced brackets, every
+    getElementById target present in the markup, every onclick/
+    onchange handler defined. No browser exists in this image, so
+    this (plus the route tests mirroring each fetch sequence) is the
+    UI-regression net."""
+    import re
+
+    from cartoonsegmentation_tpu.serving.webui import PAGE_HTML
+    m = re.search(r'<script>(.*)</script>', PAGE_HTML, re.S)
+    js = m.group(1)
+    for o, c in (('{', '}'), ('(', ')'), ('[', ']')):
+        assert js.count(o) == js.count(c), \
+            f'unbalanced {o}{c}: {js.count(o)} vs {js.count(c)}'
+    ids_used = set(re.findall(r"getElementById\('([\w-]+)'\)", js))
+    ids_defined = set(re.findall(r'id="([\w-]+)"', PAGE_HTML))
+    dynamic = {i for i in ids_used if i.startswith('ins_')}
+    missing = ids_used - ids_defined - dynamic
+    assert not missing, f'JS references missing ids: {missing}'
+    handlers = set(re.findall(r'on(?:click|change)="(\w+)\(',
+                              PAGE_HTML))
+    defined = set(re.findall(r'(?:async )?function (\w+)', js))
+    assert handlers <= defined, \
+        f'undefined handlers: {handlers - defined}'
+
+
 def test_style_options_model_and_batch(rng, tmp_path):
     """The style tab's sd-webui enumeration (models + samplers into
     dropdowns, reference Web_UI/Common/Utility_Model.py:1-79 /
