@@ -88,7 +88,7 @@ class ISNetRefiner:
 
             @jax.jit
             def fn(variables, image_small, masks, valid, order,
-                   n_valid):
+                   inv_order, n_valid):
                 if cdt != jnp.float32:
                     variables = jax.tree_util.tree_map(
                         lambda p: p.astype(cdt)
@@ -98,34 +98,50 @@ class ISNetRefiner:
                               ((0, S - nh), (0, S - nw), (0, 0)))
                 imgb = jnp.broadcast_to(img[None], (c, S, S, 3))
 
-                def body(i, out):
-                    # chunks near the tail clamp and re-refine a few
-                    # already-done slots — idempotent, so harmless
-                    sel = jax.lax.dynamic_slice(order, (i * c,), (c,))
-                    m = masks[sel].astype(jnp.float32)
-                    m = jax.image.resize(m, (c, nh, nw),
-                                         method='linear')
+                # ALL full-resolution gathers/scatters/resizes hoisted
+                # out of the loop (TPU gather cost is per indexed ROW
+                # — the per-chunk masks[sel] + at[sel].set pattern
+                # paid N·H gather rows per chunk and dominated the
+                # refine): permute+downsample the masks ONCE, loop on
+                # contiguous dynamic slices, upsample ONCE at the end.
+                # Per-image resize/threshold math is unchanged →
+                # bit-identical results.
+                low = jax.image.resize(
+                    masks[order].astype(jnp.float32), (N, nh, nw),
+                    method='linear')
+
+                def body(i, probs):
+                    # tail chunks clamp and re-run a few done slots —
+                    # idempotent, so harmless
+                    m = jax.lax.dynamic_slice(low, (i * c, 0, 0),
+                                              (c, nh, nw))
                     m = jnp.pad(m, ((0, 0), (0, S - nh), (0, S - nw)))
                     batch = jnp.concatenate([imgb, m[..., None]], -1)
                     sides, _ = net.apply(variables, batch.astype(cdt))
                     preds = jax.nn.sigmoid(
                         sides[0][..., 0].astype(jnp.float32))
-                    preds = preds[:, :nh, :nw, None]
-                    preds = resize_bilinear_ac(preds, H, W)[..., 0]
-                    newm = (preds > thr) & valid[sel][:, None, None]
-                    return out.at[sel].set(newm)
+                    preds = preds[:, :nh, :nw]
+                    return jax.lax.dynamic_update_slice(
+                        probs, preds, (i * c, 0, 0))
 
                 nchunks = (n_valid + c - 1) // c
-                return jax.lax.fori_loop(
-                    0, nchunks, body, jnp.zeros((N, H, W), jnp.bool_))
+                probs = jax.lax.fori_loop(
+                    0, nchunks, body,
+                    jnp.zeros((N, nh, nw), jnp.float32))
+                probs = probs[inv_order]          # undo the packing
+                up = resize_bilinear_ac(probs[..., None], H, W)[..., 0]
+                return (up > thr) & valid[:, None, None]
             self._jit_cache[key] = fn
 
+        inv_order = np.empty_like(order)
+        inv_order[order] = np.arange(len(order), dtype=np.int32)
         small = jax.image.resize(
             jnp.asarray(img_bgr.astype(np.float32) / 255.0),
             (nh, nw, 3), method='linear')
         new_masks = self._jit_cache[key](
             self._vars(), small, instances.masks, instances.valid,
-            jnp.asarray(order), jnp.int32(n_valid))
+            jnp.asarray(order), jnp.asarray(inv_order),
+            jnp.int32(n_valid))
         return instances.replace(masks=new_masks)
 
 
