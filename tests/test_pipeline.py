@@ -148,6 +148,37 @@ def test_stream_video(rng, tmp_path):
     assert n1 == n2 == 7 + 5
 
 
+def test_stream_encoder_error_raises_not_hangs(rng, tmp_path,
+                                               monkeypatch):
+    """An exception in the threaded encoder (e.g. disk full mid
+    vw.write, or decode failure) must surface as a raise — the
+    BOUNDED chunk queue means a dead consumer would otherwise
+    deadlock the producer's q.put forever (r5 review finding: the
+    worker keeps draining after an error so join()+re-raise run)."""
+    import pytest
+    from cartoonsegmentation_tpu.config import KenBurnsConfig
+    from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
+    from cartoonsegmentation_tpu.utils import image as img_mod
+
+    def boom(arr):
+        raise RuntimeError('decode exploded')
+
+    monkeypatch.setattr(img_mod, 'i420_to_bgr_host', boom)
+    cfg = KenBurnsConfig(max_size=64, num_frame=12, depth_field=False,
+                         point_capacity_factor=1.5, detector='none',
+                         discfill_max_steps=8, playback=False)
+    pipe = KenBurnsPipeline(cfg)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    state = pipe.generate_state(img)
+    obj_from, obj_to = pipe.autozoom(state)
+    steps = np.linspace(0.0, 1.0, cfg.num_frame)
+    # chunk=2 → 6 chunks > queue maxsize 4: without the drain, this
+    # call hangs instead of raising
+    with pytest.raises(RuntimeError, match='decode exploded'):
+        pipe.render_frames_stream(state, obj_from, obj_to, steps,
+                                  str(tmp_path / 'x.mp4'), chunk=2)
+
+
 def test_bgr_to_i420_matches_cv2(rng):
     """Device-side I420 packing matches cv2.COLOR_BGR2YUV_I420 to
     within 1 LSB (OpenCV's SIMD path rounds a hair differently on
