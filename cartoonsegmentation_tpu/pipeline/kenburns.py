@@ -1106,10 +1106,12 @@ class KenBurnsPipeline:
         enc_err: list = []
 
         def encoder():
+            sentinel_seen = False
             try:
                 while True:
                     item = q.get()
                     if item is None:
+                        sentinel_seen = True
                         break
                     ci, arr = item
                     t0 = _time.time()
@@ -1134,11 +1136,16 @@ class KenBurnsPipeline:
                     enc_s[0] += _time.time() - t0
             except Exception as e:  # noqa: BLE001 — surfaced below
                 enc_err.append(e)
-                # keep draining: the queue is BOUNDED (maxsize=4), so
-                # a dead consumer would deadlock the producer's q.put
-                # forever instead of letting join()+re-raise run
-                while q.get() is not None:
-                    pass
+                # keep draining UNTIL the sentinel: the queue is
+                # BOUNDED (maxsize=4), so a dead consumer would
+                # deadlock the producer's q.put forever instead of
+                # letting join()+re-raise run. If the error came from
+                # the palindrome tail the sentinel was already
+                # consumed — draining then would block on an empty
+                # queue forever (the r5 review's second deadlock).
+                while not sentinel_seen:
+                    if q.get() is None:
+                        sentinel_seen = True
 
         th = threading.Thread(target=encoder, daemon=True)
         th.start()

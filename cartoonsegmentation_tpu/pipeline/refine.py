@@ -98,17 +98,19 @@ class ISNetRefiner:
                               ((0, S - nh), (0, S - nw), (0, 0)))
                 imgb = jnp.broadcast_to(img[None], (c, S, S, 3))
 
-                # ALL full-resolution gathers/scatters/resizes hoisted
-                # out of the loop (TPU gather cost is per indexed ROW
-                # — the per-chunk masks[sel] + at[sel].set pattern
-                # paid N·H gather rows per chunk and dominated the
-                # refine): permute+downsample the masks ONCE, loop on
-                # contiguous dynamic slices, upsample ONCE at the end.
-                # Per-image resize/threshold math is unchanged →
-                # bit-identical results.
+                # ALL full-resolution gathers/scatters hoisted out of
+                # the per-chunk work (TPU gather cost is per indexed
+                # ROW — the old per-chunk masks[sel] + at[sel].set
+                # pattern paid N·H gather rows per chunk): downsample
+                # ALL masks first (dense), permute at LOW res, run
+                # the net over contiguous slices, un-permute the low-
+                # res probs, then upsample+threshold in a second
+                # chunked loop so the f32 full-res intermediate never
+                # exceeds (c, H, W). Per-image resize/threshold math
+                # is unchanged → bit-identical results.
                 low = jax.image.resize(
-                    masks[order].astype(jnp.float32), (N, nh, nw),
-                    method='linear')
+                    masks.astype(jnp.float32), (N, nh, nw),
+                    method='linear')[order]
 
                 def body(i, probs):
                     # tail chunks clamp and re-run a few done slots —
@@ -128,9 +130,21 @@ class ISNetRefiner:
                 probs = jax.lax.fori_loop(
                     0, nchunks, body,
                     jnp.zeros((N, nh, nw), jnp.float32))
-                probs = probs[inv_order]          # undo the packing
-                up = resize_bilinear_ac(probs[..., None], H, W)[..., 0]
-                return (up > thr) & valid[:, None, None]
+
+                def up_body(i, out):
+                    p = jax.lax.dynamic_slice(probs, (i * c, 0, 0),
+                                              (c, nh, nw))
+                    up = resize_bilinear_ac(p[..., None], H, W)[..., 0]
+                    return jax.lax.dynamic_update_slice(
+                        out, up > thr, (i * c, 0, 0))
+
+                # still in the packed layout → detections-
+                # proportional trip count; un-permute the BOOL result
+                # with one cheap N·H-row gather at the end
+                ordered = jax.lax.fori_loop(
+                    0, nchunks, up_body,
+                    jnp.zeros((N, H, W), jnp.bool_))
+                return ordered[inv_order] & valid[:, None, None]
             self._jit_cache[key] = fn
 
         inv_order = np.empty_like(order)

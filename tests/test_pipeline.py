@@ -160,6 +160,26 @@ def test_stream_encoder_error_raises_not_hangs(rng, tmp_path,
     from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
     from cartoonsegmentation_tpu.utils import image as img_mod
 
+    import threading
+
+    def run_with_watchdog(fn, timeout=300):
+        # a reappearing deadlock must FAIL the test, not hang the
+        # suite: run in a daemon thread and bound the join
+        res = {}
+
+        def target():
+            try:
+                fn()
+                res['ok'] = True
+            except Exception as e:  # noqa: BLE001
+                res['err'] = e
+        th = threading.Thread(target=target, daemon=True)
+        th.start()
+        th.join(timeout=timeout)
+        assert not th.is_alive(), \
+            'render hung — encoder deadlock regression'
+        return res
+
     def boom(arr):
         raise RuntimeError('decode exploded')
 
@@ -172,11 +192,44 @@ def test_stream_encoder_error_raises_not_hangs(rng, tmp_path,
     state = pipe.generate_state(img)
     obj_from, obj_to = pipe.autozoom(state)
     steps = np.linspace(0.0, 1.0, cfg.num_frame)
-    # chunk=2 → 6 chunks > queue maxsize 4: without the drain, this
-    # call hangs instead of raising
-    with pytest.raises(RuntimeError, match='decode exploded'):
-        pipe.render_frames_stream(state, obj_from, obj_to, steps,
-                                  str(tmp_path / 'x.mp4'), chunk=2)
+    # chunk=2 → 6 chunks > queue maxsize 4: without the mid-loop
+    # drain, this hangs instead of raising
+    res = run_with_watchdog(lambda: pipe.render_frames_stream(
+        state, obj_from, obj_to, steps, str(tmp_path / 'x.mp4'),
+        chunk=2))
+    assert 'decode exploded' in str(res.get('err'))
+
+    # second deadlock mode (r5 review): the error fires in the
+    # PALINDROME tail, after the sentinel was consumed — the drain
+    # must not block on the then-empty queue
+    monkeypatch.undo()
+    import cv2
+    RealWriter = cv2.VideoWriter
+
+    class FailingTailWriter:
+        def __init__(self, *a, **k):
+            self._vw = RealWriter(*a, **k)
+            self.n = 0
+
+        def write(self, f):
+            self.n += 1
+            if self.n > 12:         # all 12 forward frames ok
+                raise RuntimeError('tail write exploded')
+            return self._vw.write(f)
+
+        def release(self):
+            return self._vw.release()
+
+    cfg2 = cfg.replace(playback=True)
+    pipe2 = KenBurnsPipeline(cfg2)
+    state2 = pipe2.generate_state(img)
+    o_f, o_t = pipe2.autozoom(state2)
+    # render_frames_stream does `import cv2` at call time, so
+    # patching the module attribute reaches it
+    monkeypatch.setattr(cv2, 'VideoWriter', FailingTailWriter)
+    res = run_with_watchdog(lambda: pipe2.render_frames_stream(
+        state2, o_f, o_t, steps, str(tmp_path / 'y.mp4'), chunk=2))
+    assert 'tail write exploded' in str(res.get('err'))
 
 
 def test_bgr_to_i420_matches_cv2(rng):

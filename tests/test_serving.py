@@ -498,8 +498,10 @@ def test_webui_js_static_integrity():
     import re
 
     from cartoonsegmentation_tpu.serving.webui import PAGE_HTML
-    m = re.search(r'<script>(.*)</script>', PAGE_HTML, re.S)
-    js = m.group(1)
+    blocks = re.findall(r'<script[^>]*>(.*?)</script>', PAGE_HTML,
+                        re.S)
+    assert blocks, 'no <script> block found in PAGE_HTML'
+    js = '\n'.join(blocks)
     for o, c in (('{', '}'), ('(', ')'), ('[', ']')):
         assert js.count(o) == js.count(c), \
             f'unbalanced {o}{c}: {js.count(o)} vs {js.count(c)}'
