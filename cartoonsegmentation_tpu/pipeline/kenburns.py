@@ -1150,19 +1150,24 @@ class KenBurnsPipeline:
         th = threading.Thread(target=encoder, daemon=True)
         th.start()
         xfer = 0.0
-        for ci, c in enumerate(dev_chunks):
-            t0 = _time.time()
-            arr = np.asarray(c)         # blocks on the async D2H copy
-            xfer += _time.time() - t0
-            q.put((ci, arr))
-        q.put(None)
-        th.join()
-        self.timer.add('stream_transfer', xfer)
-        self.timer.add('stream_encode', enc_s[0])
-        if enc_err:
+        try:
+            for ci, c in enumerate(dev_chunks):
+                t0 = _time.time()
+                arr = np.asarray(c)     # blocks on the async D2H copy
+                xfer += _time.time() - t0
+                q.put((ci, arr))
+        finally:
+            # always deliver the sentinel, reap the worker and close
+            # the writer — a producer-side error (D2H pull failing)
+            # would otherwise leak the encoder thread blocked on
+            # q.get() and leave the mp4 handle open
+            q.put(None)
+            th.join()
+            self.timer.add('stream_transfer', xfer)
+            self.timer.add('stream_encode', enc_s[0])
             vw.release()
+        if enc_err:
             raise enc_err[0]
-        vw.release()
         frames = np.concatenate(host) if host else \
             np.zeros((0, H, W, 3), np.uint8)
         return frames

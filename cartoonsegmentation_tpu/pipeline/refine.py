@@ -98,25 +98,23 @@ class ISNetRefiner:
                               ((0, S - nh), (0, S - nw), (0, 0)))
                 imgb = jnp.broadcast_to(img[None], (c, S, S, 3))
 
-                # ALL full-resolution gathers/scatters hoisted out of
-                # the per-chunk work (TPU gather cost is per indexed
-                # ROW — the old per-chunk masks[sel] + at[sel].set
-                # pattern paid N·H gather rows per chunk): downsample
-                # ALL masks first (dense), permute at LOW res, run
-                # the net over contiguous slices, un-permute the low-
-                # res probs, then upsample+threshold in a second
-                # chunked loop so the f32 full-res intermediate never
-                # exceeds (c, H, W). Per-image resize/threshold math
-                # is unchanged → bit-identical results.
-                low = jax.image.resize(
-                    masks.astype(jnp.float32), (N, nh, nw),
-                    method='linear')[order]
-
+                # Chunked at every full-resolution touch point so the
+                # f32 full-res transients never exceed (c, H, W):
+                # per-chunk gather+downsample (exactly the original
+                # pattern, n_valid·H total gather rows), net forward,
+                # LOW-res probs buffer, then chunked upsample+
+                # threshold in the packed layout and ONE bool
+                # un-permute gather — replacing the original's
+                # heavier per-chunk full-res f32 upsample +
+                # at[sel].set scatter. Per-image resize/threshold
+                # math is unchanged → bit-identical results.
                 def body(i, probs):
                     # tail chunks clamp and re-run a few done slots —
                     # idempotent, so harmless
-                    m = jax.lax.dynamic_slice(low, (i * c, 0, 0),
-                                              (c, nh, nw))
+                    sel = jax.lax.dynamic_slice(order, (i * c,), (c,))
+                    m = jax.image.resize(
+                        masks[sel].astype(jnp.float32), (c, nh, nw),
+                        method='linear')
                     m = jnp.pad(m, ((0, 0), (0, S - nh), (0, S - nw)))
                     batch = jnp.concatenate([imgb, m[..., None]], -1)
                     sides, _ = net.apply(variables, batch.astype(cdt))

@@ -155,7 +155,6 @@ def test_stream_encoder_error_raises_not_hangs(rng, tmp_path,
     BOUNDED chunk queue means a dead consumer would otherwise
     deadlock the producer's q.put forever (r5 review finding: the
     worker keeps draining after an error so join()+re-raise run)."""
-    import pytest
     from cartoonsegmentation_tpu.config import KenBurnsConfig
     from cartoonsegmentation_tpu.pipeline import KenBurnsPipeline
     from cartoonsegmentation_tpu.utils import image as img_mod
